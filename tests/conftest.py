@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU backend.
+
+This is the standard JAX fake-backend trick so mesh/sharding code is exercised
+without TPU hardware (SURVEY.md §4).  Must run before jax is imported.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon bootstrap (sitecustomize) force-sets jax_platforms="axon,cpu";
+# override it before the backend is initialized so tests run on the virtual
+# 8-device CPU mesh, not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,154 @@
+"""Absorbing (masked) discrete diffusion: training loss and scan-based decode.
+
+Parity targets:
+  sample_time / q_sample / _train_loss  reference models/transformer_model.py:188-274
+  sample_fn (256-step unmask loop)      reference models/sample_model.py:256-328
+
+TPU-first choices:
+  * the decode loop is a ``jax.lax.scan`` over timesteps with the transformer
+    traced once (fixed 512-token shape);
+  * per-codebook Categorical sampling + masked scatter (the reference's 18-way
+    python loop) becomes a single gather of the active head's logits per
+    position followed by one ``jax.random.categorical`` — distributionally
+    identical, since exactly one head is ever consulted per position;
+  * RNG is explicitly threaded ``jax.random`` keys (the reference relies on
+    the global torch RNG, models/sample_model.py:286,306).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from text2human_tpu.models.transformer import select_head_logits
+
+DenoiseFn = Callable[[jax.Array], jax.Array]  # x_t [B,T] -> logits [B,T,K,C]
+
+
+@dataclass(frozen=True)
+class AbsorbingDiffusion:
+    num_timesteps: int = 1000
+    mask_id: int = 18432
+    num_tokens: int = 512  # latent positions (32*16)
+    n_embed_per_head: int = 1024
+    loss_type: str = "reweighted_elbo"  # 'elbo' | 'mlm' | 'reweighted_elbo'
+    mask_schedule: str = "random"
+
+
+def sample_time(key: jax.Array, batch: int, num_timesteps: int) -> Tuple[jax.Array, jax.Array]:
+    """Uniform t in [1, T] and its probability (transformer_model.py:203-207)."""
+    t = jax.random.randint(key, (batch,), 1, num_timesteps + 1)
+    pt = jnp.full((batch,), 1.0 / num_timesteps, dtype=jnp.float32)
+    return t, pt
+
+
+def q_sample(
+    key: jax.Array, x0: jax.Array, t: jax.Array, num_timesteps: int, mask_id: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Randomly absorb tokens with prob t/T (transformer_model.py:212-230)."""
+    u = jax.random.uniform(key, x0.shape)
+    mask = u < (t.astype(jnp.float32)[:, None] / num_timesteps)
+    x_t = jnp.where(mask, mask_id, x0)
+    return x_t, mask
+
+
+def train_loss(
+    key: jax.Array,
+    diffusion: AbsorbingDiffusion,
+    denoise_fn: DenoiseFn,
+    x0_cont: jax.Array,
+    gt_local: jax.Array,
+    texture_tokens: jax.Array,
+) -> Tuple[jax.Array, jax.Array, dict]:
+    """Reweighted-ELBO masked-CE loss (transformer_model.py:232-274).
+
+    x0_cont:       [B, T] continual indices (local + 1024*codebook).
+    gt_local:      [B, T] per-position local index within the active codebook.
+    texture_tokens:[B, T] active codebook ids.
+
+    The reference sums CE over 18 heads with -1-ignore; exactly one head is
+    active per position, so this equals CE of the texture-selected head over
+    the masked positions.
+    """
+    b = x0_cont.shape[0]
+    t_key, mask_key = jax.random.split(key)
+    t, pt = sample_time(t_key, b, diffusion.num_timesteps)
+    if diffusion.mask_schedule != "random":
+        raise NotImplementedError(diffusion.mask_schedule)
+    x_t, mask = q_sample(mask_key, x0_cont, t, diffusion.num_timesteps, diffusion.mask_id)
+
+    logits = denoise_fn(x_t)  # [B, T, K, C]
+    sel = select_head_logits(logits, texture_tokens)  # [B, T, C]
+
+    logp = jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, gt_local[..., None].astype(jnp.int32), axis=-1)[
+        ..., 0
+    ]
+    ce = jnp.where(mask & (gt_local >= 0), ce, 0.0)
+    cross_entropy_loss = jnp.sum(ce, axis=1)  # [B]
+
+    denom_bits = math.log(2) * diffusion.num_tokens
+    vb_loss = cross_entropy_loss / t.astype(jnp.float32) / pt / denom_bits
+
+    if diffusion.loss_type == "elbo":
+        loss = vb_loss
+    elif diffusion.loss_type == "mlm":
+        denom = jnp.sum(mask.astype(jnp.float32), axis=1)
+        denom = jnp.where(denom == 0, 1.0, denom)
+        loss = cross_entropy_loss / denom
+    elif diffusion.loss_type == "reweighted_elbo":
+        weight = 1.0 - t.astype(jnp.float32) / diffusion.num_timesteps
+        loss = weight * cross_entropy_loss / denom_bits
+    else:
+        raise ValueError(diffusion.loss_type)
+
+    return loss.mean(), vb_loss.mean(), {"masked_frac": mask.mean()}
+
+
+def sample_loop(
+    key: jax.Array,
+    diffusion: AbsorbingDiffusion,
+    denoise_fn: DenoiseFn,
+    texture_tokens: jax.Array,
+    sample_steps: int,
+    temp: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Reverse unmasking loop (sample_model.py:256-328) as a lax.scan.
+
+    Returns (local_indices [B,T], x_t_cont [B,T]).  Positions never unmasked
+    keep local index -1 (can only happen if sample_steps is tiny).
+    """
+    b, t_len = texture_tokens.shape
+    x_t = jnp.full((b, t_len), diffusion.mask_id, dtype=jnp.int32)
+    unmasked = jnp.zeros((b, t_len), dtype=bool)
+    local = jnp.full((b, t_len), -1, dtype=jnp.int32)
+    texture = texture_tokens.astype(jnp.int32)
+
+    def body(carry, step_key_and_t):
+        x_t, unmasked, local = carry
+        step_key, t = step_key_and_t
+        change_key, cat_key = jax.random.split(step_key)
+
+        u = jax.random.uniform(change_key, (b, t_len))
+        changes = (u < 1.0 / t.astype(jnp.float32)) & (~unmasked)
+        unmasked = unmasked | changes
+
+        logits = denoise_fn(x_t)  # [B, T, K, C]
+        sel = select_head_logits(logits, texture) / temp
+        sampled = jax.random.categorical(cat_key, sel.astype(jnp.float32), axis=-1)
+        sampled = sampled.astype(jnp.int32)
+
+        x_t = jnp.where(changes, sampled + diffusion.n_embed_per_head * texture, x_t)
+        local = jnp.where(changes, sampled, local)
+        return (x_t, unmasked, local), None
+
+    keys = jax.random.split(key, sample_steps)
+    ts = jnp.arange(sample_steps, 0, -1)
+    (x_t, unmasked, local), _ = jax.lax.scan(
+        body, (x_t, unmasked, local), (keys, ts)
+    )
+    return local, x_t

@@ -1,0 +1,81 @@
+"""FCN decode heads (NHWC flax.linen).
+
+Parity targets (reference models/archs/fcn_arch.py):
+  FCNHead          :159-225  convs -> optional concat -> dropout2d -> 1x1 cls
+  MultiHeadFCNHead :228-418  18 independent branches; here one nn.vmap'd
+                             branch with stacked [18, ...] params so the 18
+                             branch convs run as a single batched conv.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from text2human_tpu.config import FCNHeadConfig
+from text2human_tpu.models.unet import ConvModule
+
+
+class FCNHead(nn.Module):
+    cfg: FCNHeadConfig
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, inputs: Union[jax.Array, Sequence[jax.Array]]) -> jax.Array:
+        cfg = self.cfg
+        x = inputs[cfg.in_index] if isinstance(inputs, (list, tuple)) else inputs
+        out = x
+        for i in range(cfg.num_convs):
+            out = ConvModule(
+                cfg.channels, cfg.kernel_size, train=self.train, name=f"conv_{i}"
+            )(out)
+        if cfg.num_convs == 0:
+            out = x
+        if cfg.concat_input:
+            out = ConvModule(
+                cfg.channels, cfg.kernel_size, train=self.train, name="conv_cat"
+            )(jnp.concatenate([x, out], axis=-1))
+        if cfg.dropout_ratio > 0:
+            # torch Dropout2d zeroes whole channels -> broadcast over H, W
+            out = nn.Dropout(
+                cfg.dropout_ratio,
+                broadcast_dims=(1, 2),
+                deterministic=not self.train,
+            )(out)
+        out = nn.Conv(
+            cfg.num_classes,
+            (1, 1),
+            kernel_init=nn.initializers.normal(stddev=0.01),
+            name="conv_seg",
+        )(out)
+        return out
+
+
+class MultiHeadFCNHead(nn.Module):
+    """18-branch FCN head, vectorized over the head axis with nn.vmap.
+
+    Returns logits [N, H, W, K, num_classes] — the stacked equivalent of the
+    reference's list of 18 [N, C, H, W] tensors (fcn_arch.py:333-348).
+    """
+
+    cfg: FCNHeadConfig
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, inputs: Union[jax.Array, Sequence[jax.Array]]) -> jax.Array:
+        cfg = self.cfg
+        x = inputs[cfg.in_index] if isinstance(inputs, (list, tuple)) else inputs
+
+        VmapHead = nn.vmap(
+            FCNHead,
+            in_axes=None,
+            out_axes=0,
+            axis_size=cfg.num_heads,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+        )
+        out = VmapHead(cfg, train=self.train, name="heads")(x)  # [K, N, H, W, C]
+        return jnp.moveaxis(out, 0, 3)  # [N, H, W, K, C]

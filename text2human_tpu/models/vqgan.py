@@ -1,0 +1,199 @@
+"""VQGAN encoder/decoder stacks (NHWC flax.linen).
+
+Parity targets (reference models/archs/vqgan_arch.py):
+  Encoder        :818-919
+  Decoder        :922-1033  incl. the hierarchy fusion hook (h += bot_h after
+                  the first upsample, i_level==4 for the 5-level top decoder,
+                  :1023-1024)
+  DecoderRes     :1090-1151
+  Discriminator  :1155-1203 (PatchGAN)
+
+The per-level attention placement follows the reference's curr_res tracking:
+resolution halves after each encoder level, attention is inserted where
+curr_res is in attn_resolutions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from text2human_tpu.config import VQGANConfig
+from text2human_tpu.ops.blocks import (
+    AttnBlock,
+    Downsample,
+    GroupNorm,
+    ResnetBlock,
+    Upsample,
+)
+from text2human_tpu.ops.nn import swish
+
+
+class Encoder(nn.Module):
+    cfg: VQGANConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        num_res = cfg.num_resolutions
+        in_ch_mult = (1,) + tuple(cfg.ch_mult)
+
+        h = nn.Conv(cfg.ch, (3, 3), padding="SAME", name="conv_in")(x)
+
+        curr_res = cfg.resolution
+        for i_level in range(num_res):
+            block_out = cfg.ch * cfg.ch_mult[i_level]
+            for i_block in range(cfg.num_res_blocks):
+                h = ResnetBlock(
+                    out_channels=block_out,
+                    dropout=cfg.dropout,
+                    name=f"down_{i_level}_block_{i_block}",
+                )(h, deterministic=deterministic)
+                if curr_res in cfg.attn_resolutions:
+                    h = AttnBlock(name=f"down_{i_level}_attn_{i_block}")(h)
+            if i_level != num_res - 1:
+                h = Downsample(name=f"down_{i_level}_downsample")(h)
+                curr_res //= 2
+
+        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_1")(
+            h, deterministic=deterministic
+        )
+        h = AttnBlock(name="mid_attn_1")(h)
+        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_2")(
+            h, deterministic=deterministic
+        )
+
+        h = GroupNorm(name="norm_out")(h)
+        h = swish(h)
+        out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        return h
+
+
+class Decoder(nn.Module):
+    """Decoder with optional bottom-feature fusion after the first upsample."""
+
+    cfg: VQGANConfig
+    give_pre_end: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jax.Array,
+        bot_h: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        num_res = cfg.num_resolutions
+        block_in = cfg.ch * cfg.ch_mult[num_res - 1]
+        curr_res = cfg.resolution // 2 ** (num_res - 1)
+
+        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
+
+        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_1")(
+            h, deterministic=deterministic
+        )
+        h = AttnBlock(name="mid_attn_1")(h)
+        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_2")(
+            h, deterministic=deterministic
+        )
+
+        for i_level in reversed(range(num_res)):
+            block_out = cfg.ch * cfg.ch_mult[i_level]
+            for i_block in range(cfg.num_res_blocks + 1):
+                h = ResnetBlock(
+                    out_channels=block_out,
+                    dropout=cfg.dropout,
+                    name=f"up_{i_level}_block_{i_block}",
+                )(h, deterministic=deterministic)
+                if curr_res in cfg.attn_resolutions:
+                    h = AttnBlock(name=f"up_{i_level}_attn_{i_block}")(h)
+            if i_level != 0:
+                h = Upsample(name=f"up_{i_level}_upsample")(h)
+                curr_res *= 2
+            # hierarchy fusion hook (reference vqgan_arch.py:1023-1024):
+            # inject the bottom DecoderRes feature right after the deepest
+            # level's upsample (i_level == num_res - 1, i.e. 4 for the top).
+            if i_level == num_res - 1 and bot_h is not None:
+                h = h + bot_h
+
+        if self.give_pre_end:
+            return h
+
+        h = GroupNorm(name="norm_out")(h)
+        h = swish(h)
+        h = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        return h
+
+
+class DecoderRes(nn.Module):
+    """conv_in + middle stack only; emits the bottom residual feature
+    (reference vqgan_arch.py:1090-1151)."""
+
+    cfg: VQGANConfig
+
+    @nn.compact
+    def __call__(self, z: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        block_in = cfg.ch * cfg.ch_mult[cfg.num_resolutions - 1]
+        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
+        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_1")(
+            h, deterministic=deterministic
+        )
+        h = AttnBlock(name="mid_attn_1")(h)
+        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_2")(
+            h, deterministic=deterministic
+        )
+        return h
+
+
+class Discriminator(nn.Module):
+    """PatchGAN discriminator: Conv4x4/s2 + LeakyReLU, BN on middle layers
+    (reference vqgan_arch.py:1155-1203)."""
+
+    ndf: int = 64
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        h = nn.Conv(
+            self.ndf, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)), name="conv_0"
+        )(x)
+        h = nn.leaky_relu(h, negative_slope=0.2)
+
+        mult = 1
+        for n in range(1, self.n_layers):
+            mult = min(2 ** n, 8)
+            h = nn.Conv(
+                self.ndf * mult,
+                (4, 4),
+                strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                use_bias=False,
+                name=f"conv_{n}",
+            )(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"bn_{n}"
+            )(h)
+            h = nn.leaky_relu(h, negative_slope=0.2)
+
+        mult = min(2 ** self.n_layers, 8)
+        h = nn.Conv(
+            self.ndf * mult,
+            (4, 4),
+            strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            name=f"conv_{self.n_layers}",
+        )(h)
+        h = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, name=f"bn_{self.n_layers}"
+        )(h)
+        h = nn.leaky_relu(h, negative_slope=0.2)
+
+        h = nn.Conv(1, (4, 4), padding=((1, 1), (1, 1)), name="conv_out")(h)
+        return h
