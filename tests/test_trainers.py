@@ -1,0 +1,248 @@
+"""One-step smoke tests for every trainer on tiny configs (the reference's
+'debug' convention, SURVEY.md §4)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2human_tpu.config import (
+    FCNHeadConfig,
+    QuantizerConfig,
+    ShapeAttrConfig,
+    TransformerConfig,
+    UNetConfig,
+    VQGANConfig,
+)
+from text2human_tpu.trainers.gan import GANTrainConfig
+from text2human_tpu.trainers.hierarchy import (
+    HierarchyVQGANTrainer,
+    hierarchy_trainable_mask,
+)
+from text2human_tpu.trainers.index_pred import IndexPredTrainer
+from text2human_tpu.trainers.parsing_gen import ParsingGenTrainer
+from text2human_tpu.trainers.sampler import SamplerTrainer
+from text2human_tpu.trainers.segm_tokenizer import (
+    SegmTokenizerConfig,
+    SegmTokenizerTrainer,
+)
+from text2human_tpu.trainers.top_vqgan import TopVQGANTrainer
+from text2human_tpu.models.vqgan import Discriminator
+
+# 32x16 test images need a shallow PatchGAN: 3 stride-2 layers would shrink
+# the map to zero width.
+TINY_DISC = Discriminator(ndf=8, n_layers=1)
+
+TINY_IMG = VQGANConfig(
+    ch=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,),
+    resolution=32, z_channels=8, embed_dim=8,
+)
+TINY_QUANT = QuantizerConfig(n_embed=16, embed_dim=8, num_codebooks=3)
+TINY_SEGM = dataclasses.replace(TINY_IMG, in_channels=6, out_ch=6)
+TINY_SEGM_QUANT = QuantizerConfig(n_embed=16, embed_dim=8)
+
+
+def _img_batch(rng, b=2, res=32):
+    return {
+        "image": jnp.asarray(rng.standard_normal((b, res, res // 2, 3)).astype(np.float32)),
+        "texture_mask": jnp.asarray(
+            rng.integers(0, 3, (b, res, res // 2)).astype(np.float32)
+        ),
+        "segm": jnp.asarray(rng.integers(0, 6, (b, res, res // 2))),
+    }
+
+
+def test_segm_tokenizer_step(rng):
+    trainer = SegmTokenizerTrainer(
+        TINY_SEGM, TINY_SEGM_QUANT, SegmTokenizerConfig(num_segm_classes=6)
+    )
+    batch = _img_batch(rng)
+    state = trainer.init_state(jax.random.key(0), batch["segm"])
+    before = float(jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), state.params, 0.0))
+    state, log = trainer.train_step(state, batch)
+    assert np.isfinite(float(log["train/total_loss"]))
+    after = float(jax.tree.reduce(lambda a, b: a + jnp.sum(jnp.abs(b)), state.params, 0.0))
+    assert before != after
+    log2 = trainer.eval_step(state.params, batch)
+    assert "val/bce_loss" in log2
+
+
+def test_top_vqgan_gan_step(rng):
+    trainer = TopVQGANTrainer(
+        TINY_IMG, TINY_QUANT, GANTrainConfig(disc_start_step=0), disc=TINY_DISC
+    )
+    batch = _img_batch(rng)
+    gen_params = trainer.init_gen_params(
+        jax.random.key(0), batch["image"], batch["texture_mask"]
+    )
+    state = trainer.init_state(jax.random.key(1), gen_params, batch["image"])
+    state, metrics = trainer.train_step(state, batch, jax.random.key(2))
+    for k in ["loss", "nll_loss", "g_loss", "d_weight", "d_loss", "l1", "perceptual"]:
+        assert np.isfinite(float(metrics[k])), k
+    # second step reuses compiled fn
+    state, m2 = trainer.train_step(state, batch, jax.random.key(3))
+    assert int(state.step) == 2
+    ev = trainer.eval_loss(state.params["gen"], batch)
+    assert np.isfinite(float(ev["nll_loss"]))
+
+
+def test_disc_gate_blocks_updates_before_start(rng):
+    trainer = TopVQGANTrainer(
+        TINY_IMG, TINY_QUANT, GANTrainConfig(disc_start_step=1000), disc=TINY_DISC
+    )
+    batch = _img_batch(rng)
+    gen_params = trainer.init_gen_params(
+        jax.random.key(0), batch["image"], batch["texture_mask"]
+    )
+    state = trainer.init_state(jax.random.key(1), gen_params, batch["image"])
+    disc_before = jax.tree.map(np.asarray, state.params["disc"])
+    state, metrics = trainer.train_step(state, batch, jax.random.key(2))
+    disc_after = state.params["disc"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, np.asarray(b)),
+        disc_before,
+        disc_after,
+    )
+    # d_weight gated to 0 before disc_start_step
+    assert float(metrics["d_weight"]) == 0.0
+
+
+def test_hierarchy_mask_and_step(rng):
+    # bottom latent must live at the top decoder's first-upsample resolution
+    # (here 32x16, one fewer downsampling level) with DecoderRes channels equal
+    # to top ch * ch_mult[-1].
+    bot_cfg = dataclasses.replace(
+        TINY_IMG, ch=16, ch_mult=(1,), attn_resolutions=(32,)
+    )
+    bot_quant = QuantizerConfig(n_embed=8, embed_dim=8, num_codebooks=3, spatial_size=2)
+    trainer = HierarchyVQGANTrainer(
+        TINY_IMG, TINY_QUANT, bot_cfg, bot_quant,
+        GANTrainConfig(disc_start_step=0),
+        disc=TINY_DISC,
+        sample_shape=(1, 32, 16, 3),
+    )
+    batch = _img_batch(rng)
+    gen_params = trainer.init_gen_params(
+        jax.random.key(0), batch["image"], batch["texture_mask"]
+    )
+    mask = hierarchy_trainable_mask(gen_params, fix_decoder=False)
+    # top params frozen, bottom params trainable
+    assert not jax.tree.leaves(mask["top_encoder"])[0]
+    assert jax.tree.leaves(mask["bot_encoder"])[0]
+    flat = jax.tree_util.tree_flatten_with_path(mask["decoder"])[0]
+    for path, v in flat:
+        name = path[0].key
+        assert v == name.startswith("up_"), name
+
+    state = trainer.init_state(jax.random.key(1), gen_params, batch["image"])
+    top_before = jax.tree.map(np.asarray, state.params["gen"]["top_encoder"])
+    state, metrics = trainer.train_step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, np.asarray(b)),
+        top_before,
+        state.params["gen"]["top_encoder"],
+    )
+
+
+TINY_TF = TransformerConfig(
+    codebook_size=48,
+    segm_codebook_size=16,
+    texture_codebook_size=3,
+    n_emb=16,
+    n_layers=2,
+    n_head=2,
+    block_size=32,  # 8x4 latent of a 32-res image with 2 levels... match below
+    latent_shape=(8, 4),
+    num_output_heads=3,
+)
+
+
+def test_sampler_trainer_step(rng):
+    tf_cfg = dataclasses.replace(TINY_TF, block_size=128, latent_shape=(16, 8))
+    trainer = SamplerTrainer(
+        tf_cfg,
+        TINY_IMG,
+        dataclasses.replace(TINY_QUANT, n_embed=16),
+        TINY_SEGM,
+        TINY_SEGM_QUANT,
+    )
+    batch = _img_batch(rng)
+    img_params = trainer.img_vq.init(
+        jax.random.key(0), batch["image"], batch["texture_mask"]
+    )["params"]
+    segm_params = trainer.segm_vq.init(
+        jax.random.key(1),
+        jax.nn.one_hot(batch["segm"], 6, dtype=jnp.float32),
+    )["params"]
+    tokens = trainer.tokenize(img_params, segm_params, batch)
+    assert tokens["x0_cont"].shape == (2, 128)
+    assert int(tokens["texture_tokens"].max()) < 3
+    state = trainer.init_state(jax.random.key(2))
+    state, metrics = trainer.train_step(state, tokens, jax.random.key(3))
+    assert np.isfinite(float(metrics["loss"]))
+    # sampling produces fully-unmasked local indices
+    local, cont = trainer.sample(
+        state.params,
+        tokens["segm_tokens"],
+        tokens["texture_tokens"],
+        jax.random.key(4),
+        sample_steps=8,
+    )
+    assert (np.asarray(local) >= 0).all()
+    np.testing.assert_array_equal(
+        np.asarray(cont),
+        np.asarray(local) + 16 * np.asarray(tokens["texture_tokens"]),
+    )
+
+
+def test_index_pred_trainer_step(rng):
+    bot_cfg = dataclasses.replace(
+        TINY_IMG, ch=16, ch_mult=(1,), attn_resolutions=(32,)
+    )
+    bot_quant = QuantizerConfig(n_embed=8, embed_dim=8, num_codebooks=3, spatial_size=2)
+    unet_cfg = UNetConfig(
+        in_channels=8, base_channels=4, num_stages=3,
+        enc_num_convs=(1, 1, 1), dec_num_convs=(1, 1),
+    )
+    fcn_cfg = FCNHeadConfig(
+        in_channels=4, channels=4, num_classes=8, num_convs=1,
+        in_index=2, num_heads=3,
+    )
+    trainer = IndexPredTrainer(
+        unet_cfg, fcn_cfg, TINY_IMG, TINY_QUANT, bot_cfg, bot_quant
+    )
+    batch = _img_batch(rng)
+    vq_params = trainer.hierarchy.init(
+        jax.random.key(0), batch["image"], batch["texture_mask"]
+    )["params"]
+    data = trainer.prepare(vq_params, batch)
+    assert data["feature_top"].shape == (2, 16, 8, 8)
+    assert data["gt_indices"].shape == (2, 16, 8)  # 32x16 bot latent / 2x2 patches
+    state = trainer.init_state(jax.random.key(1), data["feature_top"])
+    state, metrics = trainer.train_step(state, data, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss_total"]))
+    ev = trainer.eval_step(state.params, state.batch_stats, data)
+    assert 0.0 <= float(ev["accuracy"]) <= 1.0
+
+
+def test_parsing_gen_trainer_step(rng):
+    attr_cfg = ShapeAttrConfig(dim=4, out_dim=8, cls_num_list=(2, 3))
+    unet_cfg = UNetConfig(
+        in_channels=1, base_channels=4, num_stages=3, attr_embedding=8,
+        enc_num_convs=(1, 1, 1), dec_num_convs=(1, 1),
+    )
+    fcn_cfg = FCNHeadConfig(in_channels=4, channels=4, num_classes=6, in_index=2)
+    trainer = ParsingGenTrainer(attr_cfg, unet_cfg, fcn_cfg)
+    batch = {
+        "densepose": jnp.asarray(rng.standard_normal((2, 16, 8, 1)).astype(np.float32)),
+        "attr": jnp.asarray(rng.integers(0, 2, (2, 2))),
+        "segm": jnp.asarray(rng.integers(0, 6, (2, 16, 8))),
+    }
+    state = trainer.init_state(jax.random.key(0), batch["densepose"], batch["attr"])
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss_total"]))
+    ev = trainer.eval_step(state.params, state.batch_stats, batch)
+    assert ev["pred"].shape == (2, 16, 8)

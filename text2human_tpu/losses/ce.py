@@ -1,0 +1,80 @@
+"""Classification losses and metrics.
+
+Parity targets:
+  cross_entropy (ignore_index, mean over valid)  reference models/losses/cross_entropy_loss.py:58-103
+  BCELossWithQuant                               reference models/losses/segmentation_loss.py:12-25
+  accuracy (top-k)                               reference models/losses/accuracy.py:1-46
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    ignore_index: int = -100,
+    reduction: str = "mean",
+) -> jax.Array:
+    """Softmax CE over the last axis of ``logits`` (labels same shape minus it).
+
+    torch's mean reduction averages over non-ignored elements only.
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = labels != ignore_index
+    safe_labels = jnp.where(valid, labels, 0).astype(jnp.int32)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    if reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(nll) / count
+
+
+def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean binary cross-entropy with logits (stable form)."""
+    zeros = jnp.zeros_like(logits)
+    loss = jnp.maximum(logits, zeros) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+    return jnp.mean(loss)
+
+
+def bce_with_quant(
+    qloss: jax.Array,
+    target: jax.Array,
+    prediction: jax.Array,
+    codebook_weight: float = 1.0,
+    split: str = "train",
+) -> Tuple[jax.Array, dict]:
+    """BCE reconstruction + weighted codebook loss (segmentation_loss.py:12-25)."""
+    bce = bce_with_logits(prediction, target)
+    loss = bce + codebook_weight * qloss
+    log = {
+        f"{split}/total_loss": loss,
+        f"{split}/bce_loss": bce,
+        f"{split}/quant_loss": qloss,
+    }
+    return loss, log
+
+
+def accuracy(
+    logits: jax.Array,
+    target: jax.Array,
+    topk: int = 1,
+    thresh: Optional[float] = None,
+) -> jax.Array:
+    """Top-k pixel accuracy in percent; logits [..., C] channel-last
+    (the reference is channel-second, accuracy.py:1-46)."""
+    k = topk
+    values, pred = jax.lax.top_k(logits, k)
+    correct = pred == target[..., None]
+    if thresh is not None:
+        correct = correct & (values > thresh)
+    return jnp.sum(correct.astype(jnp.float32)) * 100.0 / target.size

@@ -1,0 +1,115 @@
+"""LPIPS perceptual loss (VGG16 backbone) in flax, NHWC.
+
+The reference uses the ``lpips`` pip package (models/vqgan_model.py:6,252:
+``lpips.LPIPS(net='vgg')``).  Here the VGG16 feature tower and the learned
+linear calibration layers are implemented natively; pretrained torch weights
+(torchvision VGG16 + lpips lin heads) can be imported with
+``lpips_params_from_torch``.  Without pretrained weights the module still
+works as a (randomly-projected) deep feature distance — quality-gated tests
+and training configs should load real weights for parity runs.
+
+Inputs are expected in [-1, 1] like the reference training images.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# VGG16 conv plan: (out_channels, layers) per block; maxpool between blocks.
+_VGG_PLAN = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+# Channel-wise input normalization of the lpips ScalingLayer.
+_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+
+
+class VGG16Features(nn.Module):
+    """VGG16 tower returning post-ReLU features at the end of each block
+    (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> List[jax.Array]:
+        feats = []
+        for b, (ch, n_layers) in enumerate(_VGG_PLAN):
+            for i in range(n_layers):
+                x = nn.Conv(ch, (3, 3), padding="SAME", name=f"conv{b}_{i}")(x)
+                x = nn.relu(x)
+            feats.append(x)
+            if b < len(_VGG_PLAN) - 1:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return feats
+
+
+def _unit_normalize(x: jax.Array, eps: float = 1e-10) -> jax.Array:
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class LPIPS(nn.Module):
+    """Learned perceptual distance: sum_l mean_hw( lin_l( (f_l(x)-f_l(y))^2 ) )."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        x = (x - shift) / scale
+        y = (y - shift) / scale
+
+        vgg = VGG16Features(name="vgg")
+        fx = vgg(x)
+        fy = vgg(y)
+
+        total = 0.0
+        for l, (a, b) in enumerate(zip(fx, fy)):
+            diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+            lin = self.param(
+                "lin_%d" % l,
+                nn.initializers.ones,
+                (diff.shape[-1],),
+            )
+            # lpips lin layers are 1x1 convs with non-negative weights
+            w = jnp.abs(lin)
+            dist = jnp.sum(diff * w[None, None, None, :], axis=-1, keepdims=True)
+            total = total + jnp.mean(dist, axis=(1, 2), keepdims=True)
+        return total  # [N,1,1,1], matches torch lpips output shape semantics
+
+
+def lpips_params_from_torch(
+    vgg_state: Dict[str, Any], lin_state: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Convert torchvision VGG16 ``features`` state-dict + lpips lin weights.
+
+    vgg_state keys: 'features.{idx}.weight'/'bias' with idx the sequential
+    position of each conv; lin_state keys: 'lin{l}.model.1.weight' of shape
+    [1, C, 1, 1].
+    """
+    params: Dict[str, Any] = {"vgg": {}}
+    conv_indices = []
+    idx = 0
+    for ch, n_layers in _VGG_PLAN:
+        for _ in range(n_layers):
+            conv_indices.append(idx)
+            idx += 2  # conv + relu
+        idx += 1  # maxpool
+
+    flat = 0
+    for b, (ch, n_layers) in enumerate(_VGG_PLAN):
+        for i in range(n_layers):
+            seq = conv_indices[flat]
+            flat += 1
+            w = np.asarray(vgg_state[f"features.{seq}.weight"])  # [O,I,kh,kw]
+            bias = np.asarray(vgg_state[f"features.{seq}.bias"])
+            params["vgg"][f"conv{b}_{i}"] = {
+                "kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),  # HWIO
+                "bias": jnp.asarray(bias),
+            }
+
+    for l in range(len(_VGG_PLAN)):
+        w = np.asarray(lin_state[f"lin{l}.model.1.weight"])  # [1,C,1,1]
+        params[f"lin_{l}"] = jnp.asarray(w.reshape(-1))
+    return {"params": params}

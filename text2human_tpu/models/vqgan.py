@@ -86,7 +86,8 @@ class Decoder(nn.Module):
         bot_h: Optional[jax.Array] = None,
         *,
         deterministic: bool = True,
-    ) -> jax.Array:
+        return_pre_out: bool = False,
+    ):
         cfg = self.cfg
         num_res = cfg.num_resolutions
         block_in = cfg.ch * cfg.ch_mult[num_res - 1]
@@ -125,9 +126,14 @@ class Decoder(nn.Module):
             return h
 
         h = GroupNorm(name="norm_out")(h)
-        h = swish(h)
-        h = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out")(h)
-        return h
+        a = swish(h)
+        out = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out")(a)
+        if return_pre_out:
+            # `a` is the input to conv_out — used by the GAN trainer to compute
+            # the adaptive discriminator weight w.r.t. the last-layer kernel
+            # (reference models/losses/vqgan_loss.py:5-12) with two cheap VJPs.
+            return out, a
+        return out
 
 
 class DecoderRes(nn.Module):
