@@ -198,6 +198,14 @@ class HierarchyVQ(nn.Module):
         h = self.bot_quant_conv(h)
         return self.bot_quantize(h, texture_mask)
 
+    def top_feature_from_indices(
+        self, top_indices: jax.Array, texture_mask: jax.Array
+    ) -> jax.Array:
+        """Sampled top indices -> post-quant top feature
+        (reference sample_model.py:225-230)."""
+        quant = self.top_quantize.get_codebook_entry(top_indices, texture_mask)
+        return self.top_post_quant_conv(quant)
+
     def decode_from_bot_indices(
         self, top_quant: jax.Array, bot_indices: jax.Array, texture_mask: jax.Array
     ) -> jax.Array:

@@ -1,0 +1,254 @@
+"""End-to-end inference pipelines.
+
+Parity targets (reference models/sample_model.py):
+  BaseSampleModel.sample_and_refine  :215-254   (per-sample python loop -> one
+                                                 batched jitted decode here)
+  BaseSampleModel.sample_fn          :256-328   (lax.scan decode loop)
+  bot_index_prediction               :183-213
+  SampleFromParsingModel             :343-360
+  SampleFromPoseModel                :363-498   (parsing generation, texture
+                                                 mask construction :443-467,
+                                                 UI feed hooks :469-485)
+
+The whole text->image path after data loading is three jitted calls:
+tokenize (segm -> tokens), sample (256-step scan), decode (top entry lookup ->
+index prediction -> hierarchical decode), each operating on the full batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from text2human_tpu.config import (
+    FCNHeadConfig,
+    QuantizerConfig,
+    ShapeAttrConfig,
+    TransformerConfig,
+    UNetConfig,
+    VQGANConfig,
+)
+from text2human_tpu.diffusion.absorbing import AbsorbingDiffusion, sample_loop
+from text2human_tpu.models.composites import (
+    HierarchyVQ,
+    IndexPredictionNet,
+    ParsingGenerator,
+    SegmVQVAE,
+)
+from text2human_tpu.models.transformer import TransformerMultiHead
+from text2human_tpu.ops.nn import nearest_downsample_mask
+
+# Parsing classes carrying each texture region (reference sample_model.py:443-447)
+UPPER_CLASSES = (1, 4)
+LOWER_CLASSES = (3, 5, 21)
+OUTER_CLASSES = (2,)
+ABSENT_ATTR = 17
+
+
+def texture_mask_from_segm(
+    segm: jax.Array,
+    upper_attr: jax.Array,
+    lower_attr: jax.Array,
+    outer_attr: jax.Array,
+) -> jax.Array:
+    """Build the per-pixel texture-codebook mask from a parsing map and the
+    three fused texture attributes (reference sample_model.py:443-467 and
+    data/segm_attr_dataset.py:140-151).
+
+    mask 0 = shared codebook; attr+1 elsewhere; attr 17 = region absent.
+    segm [N,H,W] int; attrs [N] int -> [N,H,W] float32.
+    """
+    segm = segm.astype(jnp.int32)
+    mask = jnp.zeros_like(segm)
+
+    def paint(mask, classes, attr):
+        in_region = jnp.zeros_like(segm, dtype=bool)
+        for c in classes:
+            in_region |= segm == c
+        active = (attr != ABSENT_ATTR)[:, None, None]
+        value = (attr + 1)[:, None, None].astype(jnp.int32)
+        return jnp.where(in_region & active, value, mask)
+
+    mask = paint(mask, UPPER_CLASSES, upper_attr)
+    mask = paint(mask, LOWER_CLASSES, lower_attr)
+    mask = paint(mask, OUTER_CLASSES, outer_attr)
+    return mask.astype(jnp.float32)
+
+
+@dataclass
+class PipelineConfigs:
+    top: VQGANConfig
+    top_quant: QuantizerConfig
+    bot: VQGANConfig
+    bot_quant: QuantizerConfig
+    segm: VQGANConfig
+    segm_quant: QuantizerConfig
+    transformer: TransformerConfig
+    index_unet: UNetConfig
+    index_fcn: FCNHeadConfig
+    shape_attr: Optional[ShapeAttrConfig] = None
+    parsing_unet: Optional[UNetConfig] = None
+    parsing_fcn: Optional[FCNHeadConfig] = None
+    sample_steps: int = 256
+    num_segm_classes: int = 24
+
+
+class SamplePipeline:
+    """Composite inference model over the six checkpoints.
+
+    params layout (mirrors the reference checkpoint dependency graph,
+    SURVEY.md §5):
+      params['hierarchy']    HierarchyVQ params (top quantize/post-quant +
+                             shared decoder + bottom stack)
+      params['segm']         SegmVQVAE params
+      params['sampler']      TransformerMultiHead params
+      params['index_pred']   {'params':…, 'batch_stats':…}
+      params['parsing_gen']  {'params':…, 'batch_stats':…}  (pose path only)
+    """
+
+    def __init__(self, cfgs: PipelineConfigs, dtype=jnp.float32):
+        self.cfgs = cfgs
+        self.hierarchy = HierarchyVQ(cfgs.top, cfgs.top_quant, cfgs.bot, cfgs.bot_quant)
+        self.segm_vq = SegmVQVAE(cfgs.segm, cfgs.segm_quant)
+        self.denoiser = TransformerMultiHead(cfgs.transformer, dtype=dtype)
+        self.index_pred = IndexPredictionNet(cfgs.index_unet, cfgs.index_fcn)
+        if cfgs.parsing_unet is not None:
+            self.parsing_gen = ParsingGenerator(
+                cfgs.shape_attr, cfgs.parsing_unet, cfgs.parsing_fcn
+            )
+        else:
+            self.parsing_gen = None
+        self.diffusion = AbsorbingDiffusion(
+            mask_id=cfgs.transformer.codebook_size,
+            num_tokens=cfgs.transformer.block_size,
+            n_embed_per_head=cfgs.transformer.head_class_num,
+        )
+        self._tokenize_segm = jax.jit(self._tokenize_segm_impl)
+        self._sample = jax.jit(self._sample_impl, static_argnames=("sample_steps",))
+        self._decode = jax.jit(self._decode_impl)
+        self._parsing = jax.jit(self._parsing_impl)
+
+    # -- stage III: parsing map -> segm tokens (sample_model.py:330-340)
+
+    def _tokenize_segm_impl(self, params, segm: jax.Array) -> jax.Array:
+        tokens = self.segm_vq.apply(
+            {"params": params["segm"]}, segm, method=SegmVQVAE.tokenize
+        )
+        return tokens.reshape(segm.shape[0], -1)
+
+    def tokenize_segm(self, params, segm):
+        return self._tokenize_segm(params, segm)
+
+    # -- stage III: diffusion sampling of top indices (sample_model.py:256-328)
+
+    def _sample_impl(
+        self, params, key, segm_tokens, texture_tokens, sample_steps: int
+    ):
+        def denoise(x_t):
+            return self.denoiser.apply(
+                {"params": params["sampler"]}, x_t, segm_tokens, texture_tokens
+            )
+
+        local, _ = sample_loop(
+            key, self.diffusion, denoise, texture_tokens, sample_steps
+        )
+        return local
+
+    def sample_indices(self, params, key, segm_tokens, texture_tokens, sample_steps=0):
+        steps = sample_steps or self.cfgs.sample_steps
+        return self._sample(params, key, segm_tokens, texture_tokens, steps)
+
+    # -- stage II decode: top indices -> image (sample_model.py:215-254)
+
+    def _decode_impl(self, params, top_local: jax.Array, texture_mask: jax.Array):
+        h, w = self.cfgs.transformer.latent_shape
+        hp = params["hierarchy"]
+        top_indices = top_local.reshape(-1, h, w)
+
+        # top codebook entry -> post-quant feature
+        feature_top = self.hierarchy.apply(
+            {"params": hp},
+            top_indices,
+            texture_mask,
+            method=HierarchyVQ.top_feature_from_indices,
+        )
+
+        # bottom index prediction (sample_model.py:183-213)
+        ip = params["index_pred"]
+        logits = self.index_pred.apply(
+            {"params": ip["params"], "batch_stats": ip.get("batch_stats", {})},
+            feature_top,
+        )
+        cb = nearest_downsample_mask(texture_mask, logits.shape[1:3]).astype(jnp.int32)
+        sel = jnp.take_along_axis(
+            logits, cb[..., None, None], axis=3
+        )[:, :, :, 0, :]
+        bot_indices = jnp.argmax(sel, axis=-1).astype(jnp.int32)
+
+        # hierarchical decode
+        dec = self.hierarchy.apply(
+            {"params": hp},
+            feature_top,
+            bot_indices,
+            texture_mask,
+            method=HierarchyVQ.decode_from_bot_indices,
+        )
+        return jnp.clip((dec + 1.0) / 2.0, 0.0, 1.0)
+
+    def decode(self, params, top_local, texture_mask):
+        return self._decode(params, top_local, texture_mask)
+
+    # -- stage I: pose -> parsing (sample_model.py:431-437)
+
+    def _parsing_impl(self, params, pose: jax.Array, shape_attr: jax.Array):
+        pg = params["parsing_gen"]
+        logits = self.parsing_gen.apply(
+            {"params": pg["params"], "batch_stats": pg.get("batch_stats", {})},
+            pose,
+            shape_attr,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    def generate_parsing(self, params, pose, shape_attr):
+        if self.parsing_gen is None:
+            raise ValueError("pipeline built without parsing generator configs")
+        return self._parsing(params, pose, shape_attr)
+
+    # -- composite paths
+
+    def sample_from_parsing(
+        self, params, key, segm: jax.Array, texture_mask: jax.Array, sample_steps=0
+    ) -> jax.Array:
+        """GT parsing + texture mask -> image batch (SampleFromParsingModel)."""
+        h, w = self.cfgs.transformer.latent_shape
+        segm_tokens = self.tokenize_segm(params, segm)
+        texture_tokens = (
+            nearest_downsample_mask(texture_mask, (h, w))
+            .astype(jnp.int32)
+            .reshape(segm.shape[0], -1)
+        )
+        top_local = self.sample_indices(
+            params, key, segm_tokens, texture_tokens, sample_steps
+        )
+        return self.decode(params, top_local, texture_mask)
+
+    def sample_from_pose(
+        self,
+        params,
+        key,
+        pose: jax.Array,
+        shape_attr: jax.Array,
+        upper_attr: jax.Array,
+        lower_attr: jax.Array,
+        outer_attr: jax.Array,
+        sample_steps=0,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """DensePose + attributes -> (image batch, parsing maps)
+        (SampleFromPoseModel.inference, sample_model.py:421-429)."""
+        segm = self.generate_parsing(params, pose, shape_attr)
+        texture_mask = texture_mask_from_segm(segm, upper_attr, lower_attr, outer_attr)
+        images = self.sample_from_parsing(params, key, segm, texture_mask, sample_steps)
+        return images, segm
