@@ -1,0 +1,275 @@
+"""DeepFashion-MultiModal datasets, NHWC numpy outputs.
+
+Parity targets (reference data/):
+  DeepFashionAttrSegmDataset          segm_attr_dataset.py:11-167
+  DeepFashionAttrPoseDataset          pose_attr_dataset.py:11-109
+  ParsingGenerationDataset            parsing_generation_segm_attr_dataset.py:10-80
+  MaskDataset                         mask_dataset.py:11-59
+
+File layout (reference README.md:82-108): images, ``densepose/`` (IUV pngs,
+only channel 2 kept, /12-1), ``segm/`` (24-class pngs), ``texture_ann/{split}/
+{upper,lower,outer}_fused.txt``, ``shape_ann/*_ann_file.txt``.  All images are
+downsampled by ``downsample_factor`` (LANCZOS for RGB, NEAREST for masks).
+
+Differences from the reference: channel-last layout (TPU-friendly), numpy
+outputs (no torch), and a ``SyntheticDataset`` used by tests and benchmarks
+when the real dataset is not on disk.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover - PIL is present in the target image
+    Image = None
+
+# texture regions: parsing classes carrying each fused attribute
+# (reference data/segm_attr_dataset.py:60-69)
+UPPER_CLASSES = (1.0, 4.0)
+LOWER_CLASSES = (3.0, 5.0, 21.0)
+OUTER_CLASSES = (2.0,)
+ABSENT_ATTR = 17
+
+
+def _read_attr_file(path: str) -> Tuple[List[str], List[List[int]]]:
+    names, attrs = [], []
+    with open(path, "r") as f:
+        for row in f:
+            parts = row.split()
+            if not parts:
+                continue
+            names.append(parts[0])
+            attrs.append([int(v) for v in parts[1:]])
+    return names, attrs
+
+
+def _load_resized(path: str, downsample: int, resample) -> np.ndarray:
+    with open(path, "rb") as f:
+        img = Image.open(f)
+        if downsample != 1:
+            w, h = img.size
+            img = img.resize((w // downsample, h // downsample), resample=resample)
+        return np.array(img)
+
+
+def build_texture_mask(
+    segm: np.ndarray, upper: int, lower: int, outer: int
+) -> np.ndarray:
+    """mask 0 = shared codebook, attr+1 per region, attr 17 = absent
+    (segm_attr_dataset.py:140-151)."""
+    mask = np.zeros_like(segm, dtype=np.float32)
+    if upper != ABSENT_ATTR:
+        for cls in UPPER_CLASSES:
+            mask[segm == cls] = upper + 1
+    if lower != ABSENT_ATTR:
+        for cls in LOWER_CLASSES:
+            mask[segm == cls] = lower + 1
+    if outer != ABSENT_ATTR:
+        for cls in OUTER_CLASSES:
+            mask[segm == cls] = outer + 1
+    return mask
+
+
+class _FlatFileDataset:
+    """Shared loading helpers over the DeepFashion-MultiModal layout."""
+
+    def __init__(self, downsample_factor: int = 2, xflip: bool = False):
+        self.downsample_factor = downsample_factor
+        self.xflip = xflip
+
+    def _image(self, img_dir: str, fname: str) -> np.ndarray:
+        arr = _load_resized(osp.join(img_dir, fname), self.downsample_factor, Image.LANCZOS)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr.astype(np.float32)  # HWC
+
+    def _densepose(self, pose_dir: str, fname: str) -> np.ndarray:
+        name = f"{fname[:-4]}_densepose.png"
+        arr = _load_resized(osp.join(pose_dir, name), self.downsample_factor, Image.NEAREST)
+        return arr[:, :, 2:].astype(np.float32)  # keep I channel, [H,W,1]
+
+    def _segm(self, segm_dir: str, fname: str) -> np.ndarray:
+        name = f"{fname[:-4]}_segm.png"
+        arr = _load_resized(osp.join(segm_dir, name), self.downsample_factor, Image.NEAREST)
+        return arr.astype(np.float32)  # [H,W]
+
+
+class DeepFashionAttrSegmDataset(_FlatFileDataset):
+    """image + densepose + segm + texture_mask (segm_attr_dataset.py:11-167)."""
+
+    def __init__(
+        self,
+        img_dir: str,
+        segm_dir: str,
+        pose_dir: str,
+        ann_dir: str,
+        downsample_factor: int = 2,
+        xflip: bool = False,
+    ):
+        super().__init__(downsample_factor, xflip)
+        self.img_dir, self.segm_dir, self.pose_dir = img_dir, segm_dir, pose_dir
+        self.fnames, upper = _read_attr_file(osp.join(ann_dir, "upper_fused.txt"))
+        names_l, lower = _read_attr_file(osp.join(ann_dir, "lower_fused.txt"))
+        names_o, outer = _read_attr_file(osp.join(ann_dir, "outer_fused.txt"))
+        assert names_l == self.fnames and names_o == self.fnames, (
+            "texture annotation files disagree on image order"
+        )
+        self.upper = [a[0] for a in upper]
+        self.lower = [a[0] for a in lower]
+        self.outer = [a[0] for a in outer]
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        fname = self.fnames[index]
+        image = self._image(self.img_dir, fname)
+        pose = self._densepose(self.pose_dir, fname)
+        segm = self._segm(self.segm_dir, fname)
+
+        if self.xflip and random.random() > 0.5:
+            image = image[:, ::-1].copy()
+            pose = pose[:, ::-1].copy()
+            segm = segm[:, ::-1].copy()
+
+        mask = build_texture_mask(
+            segm, self.upper[index], self.lower[index], self.outer[index]
+        )
+        return {
+            "image": image / 127.5 - 1.0,
+            "densepose": pose / 12.0 - 1.0,
+            "segm": segm,
+            "texture_mask": mask,
+            "img_name": fname,
+        }
+
+
+class DeepFashionAttrPoseDataset(_FlatFileDataset):
+    """densepose + shape attrs + fused texture attrs (pose_attr_dataset.py:11-109)."""
+
+    def __init__(
+        self,
+        pose_dir: str,
+        texture_ann_dir: str,
+        shape_ann_path: str,
+        downsample_factor: int = 2,
+        xflip: bool = False,
+    ):
+        super().__init__(downsample_factor, xflip)
+        self.pose_dir = pose_dir
+        self.target_names, upper = _read_attr_file(
+            osp.join(texture_ann_dir, "upper_fused.txt")
+        )
+        self.fnames = [f"{n.split('.')[0]}.png" for n in self.target_names]
+        _, lower = _read_attr_file(osp.join(texture_ann_dir, "lower_fused.txt"))
+        _, outer = _read_attr_file(osp.join(texture_ann_dir, "outer_fused.txt"))
+        _, shape = _read_attr_file(shape_ann_path)
+        self.upper = [a[0] for a in upper]
+        self.lower = [a[0] for a in lower]
+        self.outer = [a[0] for a in outer]
+        self.shape_attrs = shape
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        pose = self._densepose(self.pose_dir, self.fnames[index])
+        if self.xflip and random.random() > 0.5:
+            pose = pose[:, ::-1].copy()
+        return {
+            "densepose": pose / 12.0 - 1.0,
+            "img_name": self.target_names[index],
+            "shape_attr": np.asarray(self.shape_attrs[index], np.int64),
+            "upper_fused_attr": np.int64(self.upper[index]),
+            "lower_fused_attr": np.int64(self.lower[index]),
+            "outer_fused_attr": np.int64(self.outer[index]),
+        }
+
+
+class ParsingGenerationDataset(_FlatFileDataset):
+    """densepose + segm + 15 shape attrs (parsing_generation_segm_attr_dataset.py:10-80)."""
+
+    def __init__(
+        self, segm_dir: str, pose_dir: str, ann_file: str, downsample_factor: int = 2
+    ):
+        super().__init__(downsample_factor)
+        self.segm_dir, self.pose_dir = segm_dir, pose_dir
+        self.fnames, self.attrs = _read_attr_file(ann_file)
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        fname = self.fnames[index]
+        pose = self._densepose(self.pose_dir, fname)
+        segm = self._segm(self.segm_dir, fname)
+        return {
+            "densepose": pose / 12.0 - 1.0,
+            "segm": segm.astype(np.int64),
+            "attr": np.asarray(self.attrs[index], np.int64),
+            "img_name": fname,
+        }
+
+
+class MaskDataset(_FlatFileDataset):
+    """segm only (mask_dataset.py:11-59)."""
+
+    def __init__(
+        self, segm_dir: str, ann_dir: str, downsample_factor: int = 2, xflip: bool = False
+    ):
+        super().__init__(downsample_factor, xflip)
+        self.segm_dir = segm_dir
+        self.fnames, _ = _read_attr_file(osp.join(ann_dir, "upper_fused.txt"))
+
+    def __len__(self):
+        return len(self.fnames)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        segm = self._segm(self.segm_dir, self.fnames[index])
+        if self.xflip and random.random() > 0.5:
+            segm = segm[:, ::-1].copy()
+        return {"segm": segm.astype(np.int64), "img_name": self.fnames[index]}
+
+
+class SyntheticDataset:
+    """Deterministic random data in the DeepFashion shapes, for tests/benches."""
+
+    def __init__(
+        self,
+        length: int = 16,
+        resolution: int = 512,
+        num_segm_classes: int = 24,
+        num_textures: int = 18,
+        seed: int = 0,
+    ):
+        self.length = length
+        self.res = resolution
+        self.num_segm_classes = num_segm_classes
+        self.num_textures = num_textures
+        self.seed = seed
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        h, w = self.res, self.res // 2
+        segm = rng.integers(0, self.num_segm_classes, (h, w)).astype(np.float32)
+        return {
+            "image": rng.uniform(-1, 1, (h, w, 3)).astype(np.float32),
+            "densepose": rng.uniform(-1, 1, (h, w, 1)).astype(np.float32),
+            "segm": segm,
+            "texture_mask": rng.integers(0, self.num_textures, (h, w)).astype(
+                np.float32
+            ),
+            "attr": rng.integers(0, 2, (15,)).astype(np.int64),
+            "shape_attr": rng.integers(0, 2, (15,)).astype(np.int64),
+            "img_name": f"synthetic_{index:06d}.png",
+        }

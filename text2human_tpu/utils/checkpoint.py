@@ -1,0 +1,66 @@
+"""Checkpointing: orbax pytree save/restore + mid-run resume.
+
+The reference only stores component state-dicts for inference handoff and has
+NO mid-run resume (SURVEY.md §5: no optimizer/epoch/RNG state saved).  Here a
+checkpoint is one pytree holding params, optimizer state, step, and the data
+epoch, so training is preemption-safe — a first-class requirement on TPU pods.
+
+``text2human_tpu.utils.torch_import`` converts the reference's ``.pth`` zoo
+into these pytrees.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except ImportError:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def save_checkpoint(path: str, tree: Any):
+    """Save a pytree checkpoint to ``path`` (a directory)."""
+    path = osp.abspath(path)
+    if _HAVE_ORBAX:
+        checkpointer = ocp.PyTreeCheckpointer()
+        checkpointer.save(path, jax.device_get(tree), force=True)
+    else:
+        os.makedirs(osp.dirname(path), exist_ok=True)
+        flat, treedef = jax.tree_util.tree_flatten(jax.device_get(tree))
+        np.savez(path + ".npz", treedef=str(treedef), *flat)
+
+
+def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
+    """Restore a pytree checkpoint; ``target`` provides structure/dtypes."""
+    path = osp.abspath(path)
+    if _HAVE_ORBAX:
+        checkpointer = ocp.PyTreeCheckpointer()
+        if target is not None:
+            return checkpointer.restore(path, item=jax.device_get(target))
+        return checkpointer.restore(path)
+    raise RuntimeError("orbax not available and npz restore needs a treedef")
+
+
+# alias matching common orbax naming
+restore_checkpoint = load_checkpoint
+
+
+def latest_checkpoint(root: str) -> Optional[str]:
+    """Return the highest-numbered checkpoint dir under ``root`` (step-named)."""
+    if not osp.isdir(root):
+        return None
+    steps = []
+    for name in os.listdir(root):
+        if name.isdigit():
+            steps.append(int(name))
+    if not steps:
+        return None
+    return osp.join(root, str(max(steps)))

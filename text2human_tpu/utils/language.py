@@ -1,0 +1,305 @@
+"""Free-text -> attribute parsing.
+
+Parity target: reference utils/language_utils.py:
+  generate_shape_attributes  :93-277  sentence-embedding similarity matching
+      against predefined phrase banks with position-dependent rules and
+      0.5-0.7 thresholds, producing a 15-int attribute vector
+  generate_texture_attributes :280-305 keyword matching -> 3 texture ids
+
+The reference hard-depends on sentence-transformers ('all-MiniLM-L6-v2',
+downloaded at call time).  This build runs in zero-egress environments, so the
+text encoder is pluggable:
+
+  * ``TransformersEncoder(model_path)`` — a local MiniLM checkpoint via the
+    ``transformers`` library (mean-pooled, L2-normalized = identical scores
+    to sentence-transformers);
+  * ``LexicalEncoder`` (default fallback) — hashed bag-of-token-ngrams with
+    L2 normalization, so ``dot_score`` degrades to a token-overlap cosine.
+    Rule structure, positions, and thresholds are unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Phrase banks (reference language_utils.py:9-90)
+# ---------------------------------------------------------------------------
+
+UPPER_LENGTH_TEXT = [
+    "sleeveless", "without sleeves", "sleeves have been cut off", "tank top",
+    "tank shirt", "muscle shirt", "short-sleeve", "short sleeves",
+    "with short sleeves", "medium-sleeve", "medium sleeves",
+    "with medium sleeves", "sleeves reach elbow", "long-sleeve",
+    "long sleeves", "with long sleeves",
+]
+UPPER_LENGTH_ATTR = {
+    "sleeveless": 0, "without sleeves": 0, "sleeves have been cut off": 0,
+    "tank top": 0, "tank shirt": 0, "muscle shirt": 0,
+    "short-sleeve": 1, "with short sleeves": 1, "short sleeves": 1,
+    "medium-sleeve": 2, "with medium sleeves": 2, "medium sleeves": 2,
+    "sleeves reach elbow": 2,
+    "long-sleeve": 3, "long sleeves": 3, "with long sleeves": 3,
+}
+LOWER_LENGTH_TEXT = [
+    "three-point", "medium", "short", "covering knee", "cropped",
+    "three-quarter", "long", "slack", "of long length",
+]
+LOWER_LENGTH_ATTR = {
+    "three-point": 0, "medium": 1, "covering knee": 1, "short": 1,
+    "cropped": 2, "three-quarter": 2, "long": 3, "slack": 3,
+    "of long length": 3,
+}
+SOCKS_LENGTH_TEXT = ["socks", "stocking", "pantyhose", "leggings", "sheer hosiery"]
+HAT_TEXT = ["hat", "cap", "chapeau"]
+EYEGLASSES_TEXT = ["sunglasses"]
+BELT_TEXT = ["belt", "with a dress tied around the waist"]
+OUTER_SHAPE_TEXT = [
+    "with outer clothing open", "with outer clothing unzipped",
+    "covering inner clothes", "with outer clothing zipped",
+]
+OUTER_SHAPE_ATTR = {
+    "with outer clothing open": 0, "with outer clothing unzipped": 0,
+    "covering inner clothes": 1, "with outer clothing zipped": 1,
+}
+UPPER_TYPES = ["T-shirt", "shirt", "sweater", "hoodie", "tops", "blouse", "Basic Tee"]
+OUTER_TYPES = [
+    "jacket", "outer clothing", "coat", "overcoat", "blazer", "outerwear",
+    "duffle", "cardigan",
+]
+SKIRT_TYPES = ["skirt"]
+DRESS_TYPES = ["dress"]
+PANT_TYPES = ["jeans", "pants", "trousers"]
+ROMPERS_TYPES = ["rompers", "bodysuit", "jumpsuit"]
+
+
+# ---------------------------------------------------------------------------
+# Pluggable sentence encoders
+# ---------------------------------------------------------------------------
+
+
+class LexicalEncoder:
+    """Hashed token/bigram bag with L2 norm — a dependency-free stand-in whose
+    dot products behave like a token-overlap cosine in [0, 1]."""
+
+    def __init__(self, dim: int = 512):
+        self.dim = dim
+
+    def _tokens(self, text: str) -> List[str]:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+    def encode(self, texts):
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        out = np.zeros((len(texts), self.dim), np.float32)
+        for i, t in enumerate(texts):
+            for tok in self._tokens(t):
+                h = int(hashlib.md5(tok.encode()).hexdigest(), 16) % self.dim
+                out[i, h] += 1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        out = out / np.maximum(norms, 1e-8)
+        return out[0] if single else out
+
+
+class TransformersEncoder:
+    """Mean-pooled, L2-normalized embeddings from a local MiniLM checkpoint —
+    score-identical to sentence-transformers' all-MiniLM-L6-v2."""
+
+    def __init__(self, model_path: str):
+        from transformers import AutoModel, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path)
+        self.model = AutoModel.from_pretrained(model_path)
+
+    def encode(self, texts):
+        import torch
+
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        enc = self.tokenizer(texts, padding=True, truncation=True, return_tensors="pt")
+        with torch.no_grad():
+            out = self.model(**enc).last_hidden_state
+        mask = enc["attention_mask"][..., None].float()
+        emb = (out * mask).sum(1) / mask.sum(1).clamp(min=1e-9)
+        emb = torch.nn.functional.normalize(emb, dim=1).numpy()
+        return emb[0] if single else emb
+
+
+def dot_score(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = np.atleast_2d(np.asarray(a))
+    b = np.atleast_2d(np.asarray(b))
+    return a @ b.T
+
+
+# ---------------------------------------------------------------------------
+# Attribute generation
+# ---------------------------------------------------------------------------
+
+
+def generate_shape_attributes(
+    user_shape_texts: str, encoder=None
+) -> List[int]:
+    """Comma-separated description -> [gender, hair] + 13 shape attrs
+    (reference language_utils.py:93-277; rule structure and thresholds kept)."""
+    model = encoder or LexicalEncoder()
+    parsed_texts = user_shape_texts.split(",")
+    text_num = len(parsed_texts)
+
+    human_attr = [0, 0]
+    attr = [1, 3, 0, 0, 0, 3, 1, 1, 0, 0, 0, 0, 0]
+    changed = [0] * 13
+
+    bank = {}
+
+    def enc(phrases):
+        key = tuple(phrases) if isinstance(phrases, list) else phrases
+        if key not in bank:
+            bank[key] = model.encode(phrases)
+        return bank[key]
+
+    for text_id, text in enumerate(parsed_texts):
+        user_emb = model.encode(text)
+
+        if "man" in text and text_id == 0:
+            human_attr = [0, 0]
+        if ("woman" in text or "lady" in text) and text_id == 0:
+            human_attr = [1, 2]
+
+        if not changed[0] and text_id == 1:
+            sims = dot_score(user_emb, enc(UPPER_LENGTH_TEXT))
+            arg = int(np.argmax(sims))
+            attr[0] = UPPER_LENGTH_ATTR[UPPER_LENGTH_TEXT[arg]]
+            changed[0] = 1
+
+        if not changed[1] and (
+            (text_num == 2 and text_id == 1) or (text_num > 2 and text_id == 2)
+        ):
+            sims = dot_score(user_emb, enc(LOWER_LENGTH_TEXT))
+            arg = int(np.argmax(sims))
+            attr[1] = LOWER_LENGTH_ATTR[LOWER_LENGTH_TEXT[arg]]
+            changed[1] = 1
+
+        if not changed[2] and text_id > 2:
+            sims = dot_score(user_emb, enc(SOCKS_LENGTH_TEXT))
+            arg = int(np.argmax(sims))
+            if sims[0][arg] > 0.7:
+                attr[2] = arg + 1
+                changed[2] = 1
+
+        if not changed[3] and text_id > 2:
+            sims = dot_score(user_emb, enc(HAT_TEXT))
+            if sims[0][0] > 0.7:
+                attr[3] = 1
+                changed[3] = 1
+
+        if not changed[4] and text_id > 2:
+            sims = dot_score(user_emb, enc(EYEGLASSES_TEXT))
+            arg = int(np.argmax(sims))
+            if sims[0][arg] > 0.7:
+                attr[4] = arg + 1
+                changed[4] = 1
+
+        if not changed[5] and text_id > 2:
+            sims = dot_score(user_emb, enc(BELT_TEXT))
+            arg = int(np.argmax(sims))
+            if sims[0][arg] > 0.7:
+                attr[5] = arg + 1
+                changed[5] = 1
+
+        if not changed[6] and text_id == 3:
+            sims = dot_score(user_emb, enc(OUTER_SHAPE_TEXT))
+            arg = int(np.argmax(sims))
+            if sims[0][arg] > 0.7:
+                attr[6] = arg
+                changed[6] = 1
+
+        if not changed[10] and text_num == 2 and text_id == 1:
+            sims_dress = dot_score(user_emb, enc(DRESS_TYPES))
+            sims_skirt = dot_score(user_emb, enc(SKIRT_TYPES))
+            if sims_dress[0][0] > 0.5 and sims_dress[0][0] > sims_skirt[0][0]:
+                attr[10] = 1
+                for i in (7, 8, 9, 11, 12):
+                    attr[i] = 0
+                for i in (0, 7, 8, 9, 10, 11, 12):
+                    changed[i] = 1
+
+        if not changed[12] and text_num == 2 and text_id == 1:
+            sims = dot_score(user_emb, enc(ROMPERS_TYPES))
+            if float(np.max(sims)) > 0.6:
+                attr[12] = 1
+                for i in (7, 8, 9, 10, 11):
+                    attr[i] = 0
+                for i in (7, 8, 9, 10, 11, 12):
+                    changed[i] = 1
+
+        if not changed[7] and text_num > 2 and text_id == 1:
+            sims = dot_score(user_emb, enc(UPPER_TYPES))
+            if float(np.max(sims)) > 0.6:
+                attr[7] = 1
+                changed[7] = 1
+
+        if not changed[8] and text_id == 3:
+            sims = dot_score(user_emb, enc(OUTER_TYPES))
+            arg = int(np.argmax(sims))
+            if sims[0][arg] > 0.7:
+                attr[6] = OUTER_SHAPE_ATTR[OUTER_SHAPE_TEXT[arg]] if arg < len(
+                    OUTER_SHAPE_TEXT
+                ) else attr[6]
+                attr[8] = 1
+                changed[8] = 1
+
+        if not changed[9] and text_num > 2 and text_id == 2:
+            sims_skirt = dot_score(user_emb, enc(SKIRT_TYPES))
+            sims_dress = dot_score(user_emb, enc(DRESS_TYPES))
+            if sims_skirt[0][0] > 0.7 and sims_skirt[0][0] > sims_dress[0][0]:
+                attr[9] = 1
+                attr[10] = 0
+                changed[9] = 1
+                changed[10] = 1
+
+        if not changed[11] and text_num > 2 and text_id == 2:
+            sims = dot_score(user_emb, enc(PANT_TYPES))
+            if float(np.max(sims)) > 0.6:
+                attr[11] = 1
+                attr[9] = 0
+                attr[10] = 0
+                attr[12] = 0
+                for i in (9, 10, 11, 12):
+                    changed[i] = 1
+
+    return human_attr + attr
+
+
+def generate_texture_attributes(user_text: str) -> List[int]:
+    """Comma-separated texture description -> 3 fused texture ids
+    (reference language_utils.py:280-305): denim 0, floral 1, stripe 3,
+    pure 4, plaid 5, unknown 17."""
+    parsed_texts = user_text.split(",")
+    attr = []
+    for text in parsed_texts:
+        if "pure color" in text or "solid color" in text:
+            attr.append(4)
+        elif "spline" in text or "stripe" in text:
+            attr.append(3)
+        elif "plaid" in text or "lattice" in text:
+            attr.append(5)
+        elif "floral" in text:
+            attr.append(1)
+        elif "denim" in text:
+            attr.append(0)
+        else:
+            attr.append(17)
+
+    if len(attr) == 1:
+        attr.append(attr[0])
+        attr.append(17)
+    if len(attr) == 2:
+        attr.append(17)
+    return attr
