@@ -1,0 +1,128 @@
+"""End-to-end benchmark: sample_from_pose images/sec/chip at 512x256.
+
+Runs the full-size Stage I + III + II inference path (parsing generation,
+segm tokenization, 256-step absorbing-diffusion sampling with the 24L/512d
+18-head transformer in bfloat16, index prediction, hierarchical VQGAN decode)
+with randomly-initialized full-size weights — identical compute to trained
+checkpoints.
+
+The reference publishes no throughput numbers (BASELINE.md); the recorded
+baseline is the project north-star of 1.0 image/sec (text -> 512x256 in <1s,
+BASELINE.md "Rebuild targets"), so vs_baseline = images_per_sec / 1.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from text2human_tpu import config as C
+    from text2human_tpu.config import (
+        FCNHeadConfig,
+        UNetConfig,
+    )
+    from text2human_tpu.pipelines.sample import PipelineConfigs, SamplePipeline
+
+    cfgs = PipelineConfigs(
+        top=C.TOP_VQGAN,
+        top_quant=C.TOP_QUANTIZER,
+        bot=C.BOT_VQGAN,
+        bot_quant=C.BOT_QUANTIZER,
+        segm=C.SEGM_VQGAN,
+        segm_quant=C.SEGM_QUANTIZER,
+        transformer=C.SAMPLER_TRANSFORMER,
+        index_unet=C.INDEX_PRED_UNET,
+        index_fcn=C.INDEX_PRED_FCN,
+        shape_attr=C.PARSING_GEN_ATTR,
+        parsing_unet=C.PARSING_GEN_UNET,
+        parsing_fcn=C.PARSING_GEN_FCN,
+        sample_steps=256,
+    )
+    pipe = SamplePipeline(cfgs, dtype=jnp.bfloat16)
+
+    b = 4
+    h, w = 512, 256
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    img = jnp.zeros((1, h, w, 3))
+    mask = jnp.zeros((1, h, w))
+    segm_oh = jnp.zeros((1, h, w, 24))
+    tok = jnp.zeros((1, cfgs.transformer.block_size), jnp.int32)
+    params = {
+        "hierarchy": pipe.hierarchy.init(jax.random.key(0), img, mask)["params"],
+        "segm": pipe.segm_vq.init(jax.random.key(1), segm_oh)["params"],
+        "sampler": pipe.denoiser.init(jax.random.key(2), tok, tok, tok)["params"],
+    }
+    ip = pipe.index_pred.init(jax.random.key(3), jnp.zeros((1, 32, 16, 256)))
+    params["index_pred"] = {
+        "params": ip["params"],
+        "batch_stats": ip.get("batch_stats", {}),
+    }
+    pg = pipe.parsing_gen.init(
+        jax.random.key(4), jnp.zeros((1, h, w, 1)), jnp.zeros((1, 15), jnp.int32)
+    )
+    params["parsing_gen"] = {
+        "params": pg["params"],
+        "batch_stats": pg.get("batch_stats", {}),
+    }
+    init_time = time.time() - t0
+
+    pose = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)).astype(np.float32))
+    shape_attr = jnp.asarray(
+        np.stack(
+            [rng.integers(0, np.array(C.PARSING_GEN_ATTR.cls_num_list)) for _ in range(b)]
+        ),
+        jnp.int32,
+    )
+    upper = jnp.asarray(rng.integers(0, 17, (b,)), jnp.int32)
+    lower = jnp.asarray(rng.integers(0, 17, (b,)), jnp.int32)
+    outer = jnp.asarray(rng.integers(0, 17, (b,)), jnp.int32)
+
+    def run(key):
+        imgs, _ = pipe.sample_from_pose(
+            params, key, pose, shape_attr, upper, lower, outer
+        )
+        return imgs
+
+    # warmup/compile
+    t0 = time.time()
+    out = run(jax.random.key(0))
+    out.block_until_ready()
+    compile_time = time.time() - t0
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = run(jax.random.key(i + 1))
+        out.block_until_ready()
+        times.append(time.time() - t0)
+
+    best = min(times)
+    imgs_per_sec = b / best
+    result = {
+        "metric": "sample_from_pose_512x256_throughput",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / 1.0, 4),
+        "detail": {
+            "batch": b,
+            "sample_steps": 256,
+            "batch_latency_s": round(best, 4),
+            "compile_s": round(compile_time, 2),
+            "init_s": round(init_time, 2),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Mesh/sharding tests on the virtual 8-device CPU backend."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from text2human_tpu.config import TransformerConfig
+from text2human_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    shard_params,
+    transformer_param_specs,
+)
+from text2human_tpu.trainers.sampler import SamplerTrainConfig, SamplerTrainer
+from text2human_tpu.models.transformer import TransformerMultiHead
+
+TP_CFG = TransformerConfig(
+    codebook_size=64,
+    segm_codebook_size=16,
+    texture_codebook_size=2,
+    n_emb=32,
+    n_layers=2,
+    n_head=4,
+    block_size=64,
+    latent_shape=(8, 8),
+    num_output_heads=2,
+)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must force 8 cpu devices"
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh = make_mesh()
+    assert mesh.shape == {"dp": 8, "tp": 1}
+
+
+def test_transformer_param_specs():
+    model = TransformerMultiHead(TP_CFG)
+    tok = jnp.zeros((1, TP_CFG.block_size), jnp.int32)
+    params = model.init(jax.random.key(0), tok, tok, tok)["params"]
+    specs = transformer_param_specs(params)
+    assert specs["blocks"]["attn"]["query"]["kernel"] == P(None, None, "tp")
+    assert specs["blocks"]["attn"]["proj"]["kernel"] == P(None, "tp", None)
+    assert specs["blocks"]["mlp_fc"]["kernel"] == P(None, None, "tp")
+    assert specs["heads"] == P(None, None, "tp")
+    assert specs["tok_emb"] == P()
+    assert specs["ln_f"]["scale"] == P()
+
+
+def test_sharded_sampler_train_step():
+    """Full dp x tp sampler training step executes on an 8-device mesh and
+    matches the single-device step numerically."""
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    trainer = SamplerTrainer(
+        TP_CFG,
+        # frozen tokenizers unused here; tokens are synthesized directly
+        img_cfg=None,
+        img_quant=None,
+        segm_cfg=None,
+        segm_quant=None,
+    )
+    rng = np.random.default_rng(0)
+    b, t = 8, TP_CFG.block_size
+    c = TP_CFG.head_class_num
+    tex = rng.integers(0, TP_CFG.texture_codebook_size, (b, t))
+    local = rng.integers(0, c, (b, t))
+    tokens = {
+        "x0_cont": jnp.asarray(local + c * tex, jnp.int32),
+        "gt_local": jnp.asarray(local, jnp.int32),
+        "segm_tokens": jnp.asarray(rng.integers(0, 16, (b, t)), jnp.int32),
+        "texture_tokens": jnp.asarray(tex, jnp.int32),
+    }
+
+    state = trainer.init_state(jax.random.key(0))
+    ref_state, ref_metrics = trainer.train_step(state, tokens, jax.random.key(1))
+
+    # shard: params by tp specs, optimizer moments inherit via re-init
+    state2 = trainer.init_state(jax.random.key(0))
+    specs = transformer_param_specs(state2.params)
+    sharded_params = shard_params(mesh, state2.params, specs)
+    sharded_state = state2.replace(
+        params=sharded_params, opt_state=trainer.tx.init(sharded_params)
+    )
+    sharded_tokens = shard_batch(mesh, tokens)
+    new_state, metrics = trainer.train_step(
+        sharded_state, sharded_tokens, jax.random.key(1)
+    )
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4
+    )
+    # params stay sharded after the step
+    lk = new_state.params["blocks"]["attn"]["query"]["kernel"]
+    assert len(lk.sharding.device_set) > 1
+    # and trajectories agree
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(lk)),
+        np.asarray(jax.device_get(ref_state.params["blocks"]["attn"]["query"]["kernel"])),
+        atol=2e-5,
+    )

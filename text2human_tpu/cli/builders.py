@@ -1,0 +1,287 @@
+"""Construct trainers/pipelines from YAML option dicts.
+
+Replaces the reference's glob-scan model registry
+(models/__init__.py:21-42 ``create_model``): the YAML ``model_type`` strings
+are kept identical so reference configs drop in unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+from text2human_tpu import config as C
+from text2human_tpu.config import (
+    FCNHeadConfig,
+    QuantizerConfig,
+    ShapeAttrConfig,
+    TransformerConfig,
+    UNetConfig,
+    VQGANConfig,
+)
+from text2human_tpu.trainers.gan import GANTrainConfig
+from text2human_tpu.trainers.hierarchy import HierarchyVQGANTrainer
+from text2human_tpu.trainers.index_pred import IndexPredTrainer, IndexPredTrainConfig
+from text2human_tpu.trainers.parsing_gen import ParsingGenTrainer, ParsingGenTrainConfig
+from text2human_tpu.trainers.sampler import SamplerTrainConfig, SamplerTrainer
+from text2human_tpu.trainers.segm_tokenizer import (
+    SegmTokenizerConfig,
+    SegmTokenizerTrainer,
+)
+from text2human_tpu.trainers.top_vqgan import TopVQGANTrainer
+
+
+def vqgan_cfg(opt: Dict[str, Any], prefix: str = "") -> VQGANConfig:
+    """Map reference YAML keys (configs/vqvae_top.yml:19-31 style) to VQGANConfig."""
+
+    def g(key, default=None):
+        v = opt.get(f"{prefix}{key}")
+        return default if v is None else v
+
+    return VQGANConfig(
+        ch=g("ch", 128),
+        ch_mult=tuple(g("ch_mult", (1, 1, 2, 2, 4))),
+        num_res_blocks=g("num_res_blocks", 2),
+        attn_resolutions=tuple(g("attn_resolutions", (32,))),
+        in_channels=g("in_channels", 3),
+        out_ch=g("out_ch", 3),
+        resolution=g("resolution", 512),
+        z_channels=g("z_channels", 256),
+        embed_dim=opt.get(f"{prefix}embed_dim") or opt.get("embed_dim") or 256,
+        double_z=bool(g("double_z", False)),
+        dropout=g("dropout", 0.0),
+    )
+
+
+def transformer_cfg(opt: Dict[str, Any]) -> TransformerConfig:
+    return TransformerConfig(
+        codebook_size=opt.get("codebook_size") or 18432,
+        segm_codebook_size=opt.get("segm_codebook_size") or 1024,
+        texture_codebook_size=opt.get("texture_codebook_size") or 18,
+        n_emb=opt.get("bert_n_emb") or 512,
+        n_layers=opt.get("bert_n_layers") or 24,
+        n_head=opt.get("bert_n_head") or 8,
+        block_size=opt.get("block_size") or 512,
+        latent_shape=tuple(opt.get("latent_shape") or (32, 16)),
+        embd_pdrop=opt.get("embd_pdrop") or 0.0,
+        resid_pdrop=opt.get("resid_pdrop") or 0.0,
+        attn_pdrop=opt.get("attn_pdrop") or 0.0,
+        num_output_heads=opt.get("num_head") or 18,
+    )
+
+
+def gan_cfg(opt: Dict[str, Any]) -> GANTrainConfig:
+    return GANTrainConfig(
+        lr=opt.get("lr") or 1e-4,
+        perceptual_weight=opt.get("perceptual_weight") or 1.0,
+        disc_start_step=opt.get("disc_start_step") or 30001,
+        disc_weight_max=opt.get("disc_weight_max") or 1.0,
+        diff_aug=bool(opt.get("diff_aug", True)),
+    )
+
+
+def _unet_cfg_opt(opt, in_key, in_default, prefix, attr_embedding=0):
+    """UNetConfig with optional debug-size overrides ({prefix}unet_base_channels /
+    {prefix}unet_num_stages)."""
+    num_stages = opt.get(f"{prefix}unet_num_stages") or 5
+    return UNetConfig(
+        in_channels=opt.get(in_key) or in_default,
+        base_channels=opt.get(f"{prefix}unet_base_channels") or 64,
+        num_stages=num_stages,
+        attr_embedding=attr_embedding,
+        enc_num_convs=(2,) * num_stages,
+        dec_num_convs=(2,) * (num_stages - 1),
+    )
+
+
+def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
+    """model_type string -> trainer instance (≙ create_model)."""
+    model_type = opt["model_type"]
+
+    if model_type == "VQSegmentationModel":
+        return SegmTokenizerTrainer(
+            vqgan_cfg(opt),
+            QuantizerConfig(
+                n_embed=opt.get("n_embed") or 1024,
+                embed_dim=opt.get("embed_dim") or 32,
+            ),
+            SegmTokenizerConfig(
+                lr=opt.get("lr") or 4.5e-5,
+                num_segm_classes=opt.get("num_segm_classes") or 24,
+            ),
+        )
+
+    if model_type in ("VQImageModel", "VQImageSegmTextureModel"):
+        num_books = 18 if model_type == "VQImageSegmTextureModel" else 1
+        return TopVQGANTrainer(
+            vqgan_cfg(opt),
+            QuantizerConfig(
+                n_embed=opt.get("n_embed") or 1024,
+                embed_dim=opt.get("embed_dim") or 256,
+                num_codebooks=num_books,
+            ),
+            gan_cfg(opt),
+            lpips_vars=lpips_vars,
+        )
+
+    if model_type == "HierarchyVQSpatialTextureAwareModel":
+        return HierarchyVQGANTrainer(
+            vqgan_cfg(opt, "top_"),
+            QuantizerConfig(
+                n_embed=1024, embed_dim=opt.get("embed_dim") or 256, num_codebooks=18
+            ),
+            vqgan_cfg(opt, "bot_"),
+            QuantizerConfig(
+                n_embed=opt.get("bot_n_embed") or 512,
+                embed_dim=opt.get("embed_dim") or 256,
+                num_codebooks=18,
+                spatial_size=opt.get("codebook_spatial_size") or 2,
+            ),
+            gan_cfg(opt),
+            fix_decoder=bool(opt.get("fix_decoder")),
+            lpips_vars=lpips_vars,
+            sample_shape=(1, vqgan_cfg(opt, "top_").resolution,
+                          vqgan_cfg(opt, "top_").resolution // 2, 3),
+        )
+
+    if model_type == "TransformerTextureAwareModel":
+        return SamplerTrainer(
+            transformer_cfg(opt),
+            vqgan_cfg(opt, "img_"),
+            QuantizerConfig(
+                n_embed=opt.get("img_n_embed") or 1024,
+                embed_dim=opt.get("img_embed_dim") or 256,
+                num_codebooks=18,
+            ),
+            vqgan_cfg(opt, "segm_"),
+            QuantizerConfig(
+                n_embed=opt.get("segm_n_embed") or 1024,
+                embed_dim=opt.get("segm_embed_dim") or 32,
+            ),
+            SamplerTrainConfig(
+                lr=opt.get("lr") or 1e-4,
+                weight_decay=opt.get("weight_decay") or 0.0,
+                loss_type=opt.get("loss_type") or "reweighted_elbo",
+                mask_schedule=opt.get("mask_schedule") or "random",
+                sample_steps=opt.get("sample_steps") or 256,
+            ),
+        )
+
+    if model_type == "VQGANTextureAwareSpatialHierarchyInferenceModel":
+        return IndexPredTrainer(
+            UNetConfig(in_channels=opt.get("encoder_in_channels") or 256),
+            FCNHeadConfig(
+                in_channels=opt.get("fc_in_channels") or 64,
+                channels=opt.get("fc_channels") or 64,
+                num_classes=opt.get("fc_num_classes") or 512,
+                num_convs=opt.get("fc_num_convs") or 1,
+                concat_input=bool(opt.get("fc_concat_input")),
+                dropout_ratio=opt.get("fc_dropout_ratio") or 0.1,
+                in_index=opt.get("fc_in_index") or 4,
+                num_heads=18,
+            ),
+            vqgan_cfg(opt, "top_"),
+            QuantizerConfig(
+                n_embed=1024, embed_dim=opt.get("embed_dim") or 256, num_codebooks=18
+            ),
+            vqgan_cfg(opt, "bot_"),
+            QuantizerConfig(
+                n_embed=opt.get("bot_n_embed") or 512,
+                embed_dim=opt.get("embed_dim") or 256,
+                num_codebooks=18,
+                spatial_size=opt.get("codebook_spatial_size") or 2,
+            ),
+            IndexPredTrainConfig(
+                lr=opt.get("lr") or 1e-4,
+                weight_decay=opt.get("weight_decay") or 0.0,
+                optimizer=opt.get("optimizer") or "Adam",
+                momentum=opt.get("momentum") or 0.9,
+            ),
+        )
+
+    if model_type == "ParsingGenModel":
+        return ParsingGenTrainer(
+            ShapeAttrConfig(
+                dim=opt.get("embedder_dim") or 8,
+                out_dim=opt.get("embedder_out_dim") or 128,
+                cls_num_list=tuple(opt.get("attr_class_num") or C.PARSING_GEN_ATTR.cls_num_list),
+            ),
+            UNetConfig(
+                in_channels=opt.get("encoder_in_channels") or 1,
+                attr_embedding=opt.get("embedder_out_dim") or 128,
+            ),
+            FCNHeadConfig(
+                in_channels=opt.get("fc_in_channels") or 64,
+                channels=opt.get("fc_channels") or 64,
+                num_classes=opt.get("fc_num_classes") or 24,
+                num_convs=opt.get("fc_num_convs") or 1,
+                concat_input=bool(opt.get("fc_concat_input")),
+                dropout_ratio=opt.get("fc_dropout_ratio") or 0.1,
+                in_index=opt.get("fc_in_index") or 4,
+            ),
+            ParsingGenTrainConfig(
+                lr=opt.get("lr") or 1e-4,
+                weight_decay=opt.get("weight_decay") or 0.0,
+            ),
+        )
+
+    raise ValueError(f"Unknown model_type {model_type}")
+
+
+def build_pipeline(opt: Dict[str, Any]):
+    """Sample* model_type -> SamplePipeline (≙ sample_model.py composites)."""
+    from text2human_tpu.pipelines.sample import PipelineConfigs, SamplePipeline
+
+    with_pose = opt["model_type"] == "SampleFromPoseModel"
+    cfgs = PipelineConfigs(
+        top=vqgan_cfg(opt, "top_"),
+        top_quant=QuantizerConfig(
+            n_embed=1024, embed_dim=opt.get("embed_dim") or 256, num_codebooks=18
+        ),
+        bot=vqgan_cfg(opt, "bot_"),
+        bot_quant=QuantizerConfig(
+            n_embed=opt.get("bot_n_embed") or 512,
+            embed_dim=opt.get("embed_dim") or 256,
+            num_codebooks=18,
+            spatial_size=opt.get("bot_codebook_spatial_size") or 2,
+        ),
+        segm=vqgan_cfg(opt, "segm_"),
+        segm_quant=QuantizerConfig(
+            n_embed=opt.get("segm_n_embed") or 1024,
+            embed_dim=opt.get("segm_embed_dim") or 32,
+        ),
+        transformer=transformer_cfg(opt),
+        index_unet=_unet_cfg_opt(opt, "index_pred_encoder_in_channels", 256, "index_pred_"),
+        index_fcn=FCNHeadConfig(
+            in_channels=opt.get("index_pred_fc_in_channels") or 64,
+            channels=opt.get("index_pred_fc_channels") or 64,
+            num_classes=opt.get("index_pred_fc_num_classes") or 512,
+            num_convs=opt.get("index_pred_fc_num_convs") or 1,
+            concat_input=bool(opt.get("index_pred_fc_concat_input")),
+            dropout_ratio=opt.get("index_pred_fc_dropout_ratio") or 0.1,
+            in_index=opt.get("index_pred_fc_in_index") or 4,
+            num_heads=18,
+        ),
+        shape_attr=ShapeAttrConfig(
+            dim=opt.get("shape_embedder_dim") or 8,
+            out_dim=opt.get("shape_embedder_out_dim") or 128,
+            cls_num_list=tuple(
+                opt.get("shape_attr_class_num") or C.PARSING_GEN_ATTR.cls_num_list
+            ),
+        ) if with_pose else None,
+        parsing_unet=_unet_cfg_opt(
+            opt, "shape_encoder_in_channels", 1, "shape_",
+            attr_embedding=opt.get("shape_embedder_out_dim") or 128,
+        ) if with_pose else None,
+        parsing_fcn=FCNHeadConfig(
+            in_channels=opt.get("shape_fc_in_channels") or 64,
+            channels=opt.get("shape_fc_channels") or 64,
+            num_classes=opt.get("shape_fc_num_classes") or 24,
+            num_convs=opt.get("shape_fc_num_convs") or 1,
+            concat_input=bool(opt.get("shape_fc_concat_input")),
+            dropout_ratio=opt.get("shape_fc_dropout_ratio") or 0.1,
+            in_index=opt.get("shape_fc_in_index") or 4,
+        ) if with_pose else None,
+        sample_steps=opt.get("sample_steps") or 256,
+        num_segm_classes=opt.get("segm_num_segm_classes") or 24,
+    )
+    return SamplePipeline(cfgs)

@@ -1,0 +1,178 @@
+"""Inference CLI: parsing-conditioned and pose-conditioned sampling.
+
+  python -m text2human_tpu.cli.sample -opt configs/sample_from_parsing.yml
+  python -m text2human_tpu.cli.sample -opt configs/sample_from_pose.yml
+
+Replaces reference sample_from_parsing.py / sample_from_pose.py: loads the six
+checkpoints (converted .pth or native orbax), iterates the test set, writes
+PNG results.  ``--synthetic`` runs with random weights + synthetic data for
+smoke testing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2human_tpu.cli.builders import build_pipeline
+from text2human_tpu.config import dict2str, parse
+from text2human_tpu.data.datasets import (
+    DeepFashionAttrPoseDataset,
+    DeepFashionAttrSegmDataset,
+    SyntheticDataset,
+)
+from text2human_tpu.data.loader import DataLoader
+from text2human_tpu.utils.logger import get_root_logger
+from text2human_tpu.utils.misc import make_exp_dirs, set_random_seed
+
+
+def save_png(path: str, img01: np.ndarray):
+    from PIL import Image
+
+    arr = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def load_params(pipe, opt: Dict[str, Any], synthetic: bool):
+    paths = [
+        opt.get("top_vae_path"),
+        opt.get("bot_vae_path"),
+        opt.get("segm_token_path"),
+        opt.get("pretrained_sampler"),
+        opt.get("pretrained_index_network"),
+    ]
+    with_pose = opt["model_type"] == "SampleFromPoseModel"
+    if with_pose:
+        paths.append(opt.get("pretrained_parsing_gen"))
+    if not synthetic and all(p and osp.exists(p) for p in paths):
+        from text2human_tpu.utils.torch_import import convert_pipeline_checkpoints
+
+        return convert_pipeline_checkpoints(
+            opt["top_vae_path"],
+            opt["bot_vae_path"],
+            opt["segm_token_path"],
+            opt["pretrained_sampler"],
+            opt["pretrained_index_network"],
+            opt.get("pretrained_parsing_gen") or "",
+        )
+
+    # random-weight fallback (smoke mode)
+    cfgs = pipe.cfgs
+    res = cfgs.top.resolution
+    img = jnp.zeros((1, res, res // 2, 3))
+    mask = jnp.zeros((1, res, res // 2))
+    tok = jnp.zeros((1, cfgs.transformer.block_size), jnp.int32)
+    params = {
+        "hierarchy": pipe.hierarchy.init(jax.random.key(0), img, mask)["params"],
+        "segm": pipe.segm_vq.init(
+            jax.random.key(1), jnp.zeros((1, res, res // 2, cfgs.segm.in_channels))
+        )["params"],
+        "sampler": pipe.denoiser.init(jax.random.key(2), tok, tok, tok)["params"],
+    }
+    h, w = cfgs.transformer.latent_shape
+    ip = pipe.index_pred.init(
+        jax.random.key(3), jnp.zeros((1, h, w, cfgs.index_unet.in_channels))
+    )
+    params["index_pred"] = {
+        "params": ip["params"],
+        "batch_stats": ip.get("batch_stats", {}),
+    }
+    if with_pose:
+        pg = pipe.parsing_gen.init(
+            jax.random.key(4),
+            jnp.zeros((1, res, res // 2, 1)),
+            jnp.zeros((1, len(cfgs.shape_attr.cls_num_list)), jnp.int32),
+        )
+        params["parsing_gen"] = {
+            "params": pg["params"],
+            "batch_stats": pg.get("batch_stats", {}),
+        }
+    return params
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", required=True)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--max-batches", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    opt = parse(args.opt, is_train=False)
+    make_exp_dirs(opt)
+    save_dir = opt["path"]["visualization"]
+    os.makedirs(save_dir, exist_ok=True)
+    logger = get_root_logger(
+        log_file=osp.join(opt["path"]["log"], f"sample_{opt['name']}.log")
+    )
+    logger.info(dict2str(dict(opt)))
+    set_random_seed(opt.get("manual_seed") or 0)
+    key = jax.random.key(opt.get("manual_seed") or 0)
+
+    with_pose = opt["model_type"] == "SampleFromPoseModel"
+    pipe = build_pipeline(opt)
+    params = load_params(pipe, opt, args.synthetic)
+
+    if args.synthetic:
+        ds = SyntheticDataset(
+            length=opt.get("synthetic_length") or 4,
+            resolution=opt.get("synthetic_resolution")
+            or opt.get("top_resolution")
+            or 512,
+        )
+    elif with_pose:
+        ds = DeepFashionAttrPoseDataset(
+            opt["pose_dir"], opt["texture_ann_file"], opt["shape_ann_path"],
+            opt.get("downsample_factor") or 2,
+        )
+    else:
+        ds = DeepFashionAttrSegmDataset(
+            opt["test_img_dir"], opt["segm_dir"], opt["pose_dir"],
+            opt["test_ann_file"], opt.get("downsample_factor") or 2,
+        )
+    loader = DataLoader(
+        ds, batch_size=opt.get("batch_size") or 4,
+        num_workers=opt.get("num_workers") or 4, drop_last=False,
+    )
+
+    for i, batch in enumerate(loader):
+        if args.max_batches and i >= args.max_batches:
+            break
+        key, sub = jax.random.split(key)
+        if with_pose:
+            if args.synthetic:
+                b = batch["densepose"].shape[0]
+                upper = lower = outer = jnp.zeros((b,), jnp.int32)
+                shape_attr = jnp.asarray(batch["shape_attr"])
+            else:
+                upper = jnp.asarray(batch["upper_fused_attr"])
+                lower = jnp.asarray(batch["lower_fused_attr"])
+                outer = jnp.asarray(batch["outer_fused_attr"])
+                shape_attr = jnp.asarray(batch["shape_attr"])
+            images, segm = pipe.sample_from_pose(
+                params, sub, jnp.asarray(batch["densepose"]), shape_attr,
+                upper, lower, outer,
+            )
+        else:
+            images = pipe.sample_from_parsing(
+                params, sub, jnp.asarray(batch["segm"]),
+                jnp.asarray(batch["texture_mask"]),
+            )
+        images = np.asarray(images)
+        for j, name in enumerate(batch["img_name"]):
+            save_png(osp.join(save_dir, name), images[j])
+        logger.info(f"batch {i}: wrote {images.shape[0]} images")
+
+    logger.info(f"done -> {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,324 @@
+"""Training CLI: one entry point for the five reference train scripts.
+
+  python -m text2human_tpu.cli.train -opt configs/vqvae_top.yml
+  python -m text2human_tpu.cli.train -opt configs/sampler.yml --synthetic
+
+Replaces train_vqvae.py / train_parsing_gen.py / train_parsing_token.py /
+train_sampler.py / train_index_prediction.py (reference repo root): epoch loop
+with per-iteration logging + ETA, per-epoch validation and checkpointing, and
+epoch-indexed lr schedules.  ``--synthetic`` swaps in the synthetic dataset so
+the whole loop runs without DeepFashion on disk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2human_tpu.cli.builders import build_trainer
+from text2human_tpu.config import dict2str, parse
+from text2human_tpu.data.datasets import (
+    DeepFashionAttrSegmDataset,
+    MaskDataset,
+    ParsingGenerationDataset,
+    SyntheticDataset,
+)
+from text2human_tpu.data.loader import DataLoader
+from text2human_tpu.trainers.base import lr_for_epoch, set_learning_rate
+from text2human_tpu.utils.checkpoint import save_checkpoint
+from text2human_tpu.utils.logger import MessageLogger, get_root_logger
+from text2human_tpu.utils.misc import make_exp_dirs, set_random_seed
+
+IMAGE_MODELS = (
+    "VQImageModel",
+    "VQImageSegmTextureModel",
+    "HierarchyVQSpatialTextureAwareModel",
+    "TransformerTextureAwareModel",
+    "VQGANTextureAwareSpatialHierarchyInferenceModel",
+)
+
+
+def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
+    if synthetic:
+        # synthetic images must match the configured network resolution
+        res = (
+            opt.get("synthetic_resolution")
+            or opt.get("resolution")
+            or opt.get("top_resolution")
+            or opt.get("img_resolution")
+            or 512
+        )
+        return SyntheticDataset(
+            length=opt.get("synthetic_length") or 2 * (opt.get("batch_size") or 4),
+            resolution=res,
+            num_segm_classes=opt.get("num_segm_classes")
+            or opt.get("segm_num_segm_classes")
+            or 24,
+        )
+    mt = opt["model_type"]
+    ann = opt[f"{split}_ann_file"]
+    if mt == "VQSegmentationModel":
+        return MaskDataset(opt["segm_dir"], ann, opt.get("downsample_factor") or 2)
+    if mt == "ParsingGenModel":
+        return ParsingGenerationDataset(
+            opt["segm_dir"], opt["pose_dir"], ann, opt.get("downsample_factor") or 2
+        )
+    img_dir = opt["train_img_dir"] if split == "train" else opt["test_img_dir"]
+    return DeepFashionAttrSegmDataset(
+        img_dir,
+        opt["segm_dir"],
+        opt["pose_dir"],
+        ann,
+        opt.get("downsample_factor") or 2,
+        xflip=opt.get("xflip") or False,
+    )
+
+
+def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {
+        k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)
+    }
+
+
+class TrainLoop:
+    """Adapter running any of the six trainers over the shared epoch loop."""
+
+    def __init__(self, opt, trainer, synthetic: bool):
+        self.opt = opt
+        self.trainer = trainer
+        self.mt = opt["model_type"]
+        self.key = jax.random.key(opt.get("manual_seed") or 0)
+        self.synthetic = synthetic
+        self.state = None
+        self.frozen: Dict[str, Any] = {}
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def init(self, first_batch):
+        t, mt, key = self.trainer, self.mt, self._next_key()
+        b = to_device_batch(first_batch)
+        if mt == "VQSegmentationModel":
+            self.state = t.init_state(key, b["segm"])
+        elif mt in ("VQImageModel", "VQImageSegmTextureModel",
+                    "HierarchyVQSpatialTextureAwareModel"):
+            gen = t.init_gen_params(key, b["image"], b.get("texture_mask"))
+            self.state = t.init_state(self._next_key(), gen, b["image"])
+            if mt == "HierarchyVQSpatialTextureAwareModel":
+                self._load_into_gen("top_vae_path")
+        elif mt == "TransformerTextureAwareModel":
+            self.frozen["img"] = self._frozen_params(
+                "img_ae_path",
+                lambda: t.img_vq.init(
+                    self._next_key(), b["image"], b["texture_mask"]
+                )["params"],
+            )
+            self.frozen["segm"] = self._frozen_params(
+                "segm_ae_path",
+                lambda: t.segm_vq.init(
+                    self._next_key(),
+                    jax.nn.one_hot(b["segm"].astype(jnp.int32),
+                                   t.segm_vq.cfg.in_channels, dtype=jnp.float32),
+                )["params"],
+            )
+            self.state = t.init_state(self._next_key())
+        elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
+            self.frozen["vq"] = self._frozen_params(
+                "top_vae_path",
+                lambda: t.hierarchy.init(
+                    self._next_key(), b["image"], b["texture_mask"]
+                )["params"],
+            )
+            data = t.prepare(self.frozen["vq"], b)
+            self.state = t.init_state(self._next_key(), data["feature_top"])
+        elif mt == "ParsingGenModel":
+            self.state = t.init_state(self._next_key(), b["densepose"], b["attr"])
+        else:
+            raise ValueError(self.mt)
+
+    def _frozen_params(self, path_key: str, random_init):
+        path = self.opt.get(path_key)
+        if path and osp.exists(path) and not self.synthetic:
+            from text2human_tpu.utils import torch_import as ti
+
+            ckpt = ti.load_pth(path)
+            if path_key == "img_ae_path" or path_key == "top_vae_path":
+                return ti.convert_top_vqgan(ckpt)["params"]
+            if path_key == "segm_ae_path":
+                return ti.convert_segm_tokenizer(ckpt)["params"]
+        return random_init()
+
+    def _load_into_gen(self, path_key: str):
+        """Warm-start hierarchy gen params with the converted top checkpoint."""
+        path = self.opt.get(path_key)
+        if not (path and osp.exists(path)) or self.synthetic:
+            return
+        from text2human_tpu.utils import torch_import as ti
+
+        top = ti.convert_top_vqgan(ti.load_pth(path))
+        gen = dict(self.state.params["gen"])
+        gen["top_encoder"] = top["params"]["encoder"]
+        gen["decoder"] = top["params"]["decoder"]
+        gen["top_quantize"] = top["params"]["quantize"]
+        gen["top_quant_conv"] = top["params"]["quant_conv"]
+        gen["top_post_quant_conv"] = top["params"]["post_quant_conv"]
+        params = dict(self.state.params)
+        params["gen"] = gen
+        if "discriminator" in top:
+            params["disc"] = top["discriminator"]["params"]
+        self.state = self.state.replace(params=params)
+
+    def step(self, batch) -> Dict[str, float]:
+        t, mt = self.trainer, self.mt
+        b = to_device_batch(batch)
+        if mt == "VQSegmentationModel":
+            self.state, logs = t.train_step(self.state, b)
+        elif mt in ("VQImageModel", "VQImageSegmTextureModel",
+                    "HierarchyVQSpatialTextureAwareModel"):
+            self.state, logs = t.train_step(self.state, b, self._next_key())
+        elif mt == "TransformerTextureAwareModel":
+            tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+            self.state, logs = t.train_step(self.state, tokens, self._next_key())
+        elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
+            data = t.prepare(self.frozen["vq"], b)
+            self.state, logs = t.train_step(self.state, data, self._next_key())
+        elif mt == "ParsingGenModel":
+            self.state, logs = t.train_step(self.state, b, self._next_key())
+        return {k: float(v) for k, v in logs.items()}
+
+    def validate(self, loader) -> Dict[str, float]:
+        t, mt = self.trainer, self.mt
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in loader:
+            b = to_device_batch(batch)
+            if mt == "VQSegmentationModel":
+                logs = t.eval_step(self.state.params, b)
+            elif mt in ("VQImageModel", "VQImageSegmTextureModel",
+                        "HierarchyVQSpatialTextureAwareModel"):
+                logs = t.eval_loss(self.state.params["gen"], b)
+            elif mt == "TransformerTextureAwareModel":
+                tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+                _, logs = t.train_step(self.state, tokens, jax.random.key(0))
+            elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
+                data = t.prepare(self.frozen["vq"], b)
+                logs = t.eval_step(self.state.params, self.state.batch_stats, data)
+                logs = {"accuracy": logs["accuracy"]}
+            elif mt == "ParsingGenModel":
+                logs = t.eval_step(self.state.params, self.state.batch_stats, b)
+                logs = {"accuracy": logs["accuracy"]}
+            for k, v in logs.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}
+
+    def set_lr(self, epoch: int, iters: int):
+        lr = lr_for_epoch(self.opt, epoch, iters)
+        for opt_state in (
+            self.state.opt_state.values()
+            if isinstance(self.state.opt_state, dict)
+            else [self.state.opt_state]
+        ):
+            try:
+                set_learning_rate(opt_state, lr)
+            except (AttributeError, KeyError):
+                pass
+        return lr
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", required=True)
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on synthetic data (smoke/debug)")
+    parser.add_argument("--max-iters", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (debug runs)")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    opt = parse(args.opt, is_train=True)
+    make_exp_dirs(opt)
+    logger = get_root_logger(
+        log_file=osp.join(opt["path"]["log"], f"train_{opt['name']}.log")
+    )
+    logger.info(dict2str(dict(opt)))
+    set_random_seed(opt.get("manual_seed") or 0)
+
+    train_ds = make_dataset(opt, "train", args.synthetic)
+    val_ds = make_dataset(opt, "val", args.synthetic)
+    loader = DataLoader(
+        train_ds,
+        batch_size=opt.get("batch_size") or 4,
+        shuffle=True,
+        num_workers=opt.get("num_workers") or 4,
+    )
+    val_loader = DataLoader(val_ds, batch_size=1, num_workers=2, drop_last=False)
+
+    trainer = build_trainer(opt)
+    loop = TrainLoop(opt, trainer, args.synthetic)
+
+    num_epochs = opt.get("num_epochs") or 100
+    total_iters = num_epochs * max(len(loader), 1)
+    msg_logger = MessageLogger(
+        opt["name"],
+        opt.get("print_freq") or 100,
+        total_iters,
+        jsonl_path=osp.join(opt["path"]["log"], "metrics.jsonl"),
+    )
+
+    current_iter = 0
+    best = None
+    for epoch in range(num_epochs):
+        for batch in loader:
+            if current_iter == 0:
+                loop.init(batch)
+            lr = loop.set_lr(epoch, current_iter)
+            t0 = time.time()
+            logs = loop.step(batch)
+            current_iter += 1
+            if current_iter % (opt.get("print_freq") or 100) == 0 or current_iter == 1:
+                msg_logger(
+                    {
+                        "epoch": epoch,
+                        "iter": current_iter,
+                        "lrs": [lr],
+                        "time": time.time() - t0,
+                        **logs,
+                    }
+                )
+            if args.max_iters and current_iter >= args.max_iters:
+                break
+        if args.max_iters and current_iter >= args.max_iters:
+            break
+        if (epoch + 1) % (opt.get("val_freq") or 5) == 0:
+            val = loop.validate(val_loader)
+            logger.info(f"epoch {epoch} validation: {val}")
+            score = val.get("accuracy", -val.get("nll_loss", val.get("val/total_loss", 0.0)))
+            if best is None or score > best:
+                best = score
+                save_checkpoint(
+                    osp.join(opt["path"]["models"], f"epoch_{epoch}"),
+                    {"state": loop.state, "epoch": epoch},
+                )
+                logger.info(f"saved best checkpoint at epoch {epoch}")
+
+    save_checkpoint(
+        osp.join(opt["path"]["models"], "final"),
+        {"state": loop.state, "epoch": num_epochs - 1},
+    )
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,18 +46,19 @@ class SamplerTrainer:
     def __init__(
         self,
         tf_cfg: TransformerConfig,
-        img_cfg: VQGANConfig,
-        img_quant: QuantizerConfig,
-        segm_cfg: VQGANConfig,
-        segm_quant: QuantizerConfig,
+        img_cfg: VQGANConfig = None,
+        img_quant: QuantizerConfig = None,
+        segm_cfg: VQGANConfig = None,
+        segm_quant: QuantizerConfig = None,
         train_cfg: SamplerTrainConfig = SamplerTrainConfig(),
         dtype=jnp.float32,
     ):
         self.tf_cfg = tf_cfg
         self.cfg = train_cfg
         self.denoiser = TransformerMultiHead(tf_cfg, dtype=dtype)
-        self.img_vq = TextureVQGAN(img_cfg, img_quant)
-        self.segm_vq = SegmVQVAE(segm_cfg, segm_quant)
+        # frozen tokenizers are optional: callers may feed pre-tokenized data
+        self.img_vq = TextureVQGAN(img_cfg, img_quant) if img_cfg else None
+        self.segm_vq = SegmVQVAE(segm_cfg, segm_quant) if segm_cfg else None
         self.diffusion = AbsorbingDiffusion(
             num_timesteps=train_cfg.num_timesteps,
             mask_id=tf_cfg.codebook_size,
