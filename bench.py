@@ -92,17 +92,19 @@ def main():
         )
         return imgs
 
-    # warmup/compile
+    # warmup/compile.  NOTE: force a host transfer to materialize — on the
+    # tunneled axon backend block_until_ready returns before execution
+    # completes, which would make timings meaningless.
     t0 = time.time()
     out = run(jax.random.key(0))
-    out.block_until_ready()
+    np.asarray(out[:, :1, :1, :1])
     compile_time = time.time() - t0
 
     times = []
     for i in range(3):
         t0 = time.time()
         out = run(jax.random.key(i + 1))
-        out.block_until_ready()
+        np.asarray(out[:, :1, :1, :1])
         times.append(time.time() - t0)
 
     best = min(times)

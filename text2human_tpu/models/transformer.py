@@ -178,5 +178,5 @@ def select_head_logits(logits: jax.Array, texture_tokens: jax.Array) -> jax.Arra
     loop (models/sample_model.py:300-317) — only the head selected by the
     texture token at each position is ever used.
     """
-    idx = texture_tokens[..., None, None].astype(jnp.int32)
+    idx = jnp.clip(texture_tokens[..., None, None].astype(jnp.int32), 0, logits.shape[2] - 1)
     return jnp.take_along_axis(logits, idx, axis=2)[:, :, 0, :]

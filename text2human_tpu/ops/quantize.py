@@ -80,7 +80,8 @@ def masked_nearest_indices(
         - 2.0 * jnp.dot(z_flat, flat_books.T, preferred_element_type=jnp.float32)
     )  # [N, K*n_e]
     d = d.reshape(-1, k, n_e)
-    d_sel = jnp.take_along_axis(d, cb_ids[:, None, None], axis=1)[:, 0, :]
+    cb = jnp.clip(cb_ids, 0, k - 1)  # OOB ids would gather NaN fills
+    d_sel = jnp.take_along_axis(d, cb[:, None, None], axis=1)[:, 0, :]
     return jnp.argmin(d_sel, axis=1).astype(jnp.int32)
 
 
@@ -89,11 +90,11 @@ def codebook_lookup(
 ) -> jax.Array:
     """Gather embeddings.  codebooks [K, n_e, d] (or [n_e, d]); indices [...]."""
     if codebooks.ndim == 2:
-        return jnp.take(codebooks, indices, axis=0)
+        return jnp.take(codebooks, indices, axis=0, mode="clip")
     k, n_e, dim = codebooks.shape
     flat = codebooks.reshape(k * n_e, dim)
-    cont = indices + n_e * cb_ids
-    return jnp.take(flat, cont, axis=0)
+    cont = indices + n_e * jnp.clip(cb_ids, 0, k - 1)
+    return jnp.take(flat, cont, axis=0, mode="clip")
 
 
 def _vq_loss(z: jax.Array, z_q_raw: jax.Array, beta: float, legacy: bool) -> jax.Array:

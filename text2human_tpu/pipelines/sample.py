@@ -183,6 +183,7 @@ class SamplePipeline:
             feature_top,
         )
         cb = nearest_downsample_mask(texture_mask, logits.shape[1:3]).astype(jnp.int32)
+        cb = jnp.clip(cb, 0, logits.shape[3] - 1)
         sel = jnp.take_along_axis(
             logits, cb[..., None, None], axis=3
         )[:, :, :, 0, :]

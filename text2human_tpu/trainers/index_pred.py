@@ -88,7 +88,7 @@ class IndexPredTrainer:
     @staticmethod
     def _select_head(logits: jax.Array, cb_ids: jax.Array) -> jax.Array:
         """[N,H,W,K,C], [N,H,W] -> [N,H,W,C]: the supervised head per pixel."""
-        idx = cb_ids[..., None, None].astype(jnp.int32)
+        idx = jnp.clip(cb_ids[..., None, None].astype(jnp.int32), 0, logits.shape[3] - 1)
         return jnp.take_along_axis(logits, idx, axis=3)[:, :, :, 0, :]
 
     def _train_step(self, state: TrainState, data: Dict[str, jax.Array], key):

@@ -1,0 +1,122 @@
+"""Interactive editing session — the headless equivalent of the reference's
+PyQt5 demo.
+
+Parity targets:
+  ui_demo.py:27-275   Ex app: open densepose -> text -> parsing -> brush edit
+                      -> texture text -> generate
+  ui_demo.py:143-148  RGB-palette -> class-id decode
+  sample_model.py:469-485 SampleFromPoseModel feed hooks
+  sample_model.py:487-498 24-class palette
+
+The session keeps the same stepwise workflow (so a web/notebook frontend can
+drive it) without any GUI dependency; strokes are applied as class paints on
+the parsing map like the reference's GraphicsScene replay
+(ui_demo.py:136-147).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from text2human_tpu.pipelines.sample import SamplePipeline, texture_mask_from_segm
+from text2human_tpu.utils.language import (
+    generate_shape_attributes,
+    generate_texture_attributes,
+)
+
+# 24-class visualization palette (reference sample_model.py:388-395)
+PALETTE: List[List[int]] = [
+    [0, 0, 0], [255, 250, 250], [220, 220, 220], [250, 235, 215],
+    [255, 250, 205], [211, 211, 211], [70, 130, 180], [127, 255, 212],
+    [0, 100, 0], [50, 205, 50], [255, 255, 0], [245, 222, 179],
+    [255, 140, 0], [255, 0, 0], [16, 78, 139], [144, 238, 144],
+    [50, 205, 174], [50, 155, 250], [160, 140, 88], [213, 140, 88],
+    [90, 140, 90], [185, 210, 205], [130, 165, 180], [225, 141, 151],
+]
+
+
+def segm_to_palette(segm: np.ndarray) -> np.ndarray:
+    """[H,W] class ids -> [H,W,3] uint8 RGB."""
+    palette = np.asarray(PALETTE, np.uint8)
+    return palette[np.asarray(segm, np.int64)]
+
+
+def palette_to_segm(rgb: np.ndarray) -> np.ndarray:
+    """[H,W,3] RGB -> [H,W] class ids (exact-match decode, ui_demo.py:143-148)."""
+    rgb = np.asarray(rgb, np.int64)
+    out = np.zeros(rgb.shape[:2], np.int64)
+    for idx, color in enumerate(PALETTE):
+        match = (rgb == np.asarray(color)).all(axis=-1)
+        out[match] = idx
+    return out
+
+
+class InteractiveSession:
+    """Stateful wrapper over SamplePipeline mirroring the demo workflow."""
+
+    def __init__(self, pipeline: SamplePipeline, params, text_encoder=None, seed: int = 0):
+        self.pipe = pipeline
+        self.params = params
+        self.text_encoder = text_encoder
+        self.key = jax.random.key(seed)
+        self.pose: Optional[jnp.ndarray] = None
+        self.shape_attr: Optional[jnp.ndarray] = None
+        self.segm: Optional[np.ndarray] = None
+        self.texture_attrs: Optional[List[int]] = None
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- step 1: pose (ui_demo.py:69-100 open densepose)
+
+    def feed_pose(self, densepose_i_channel: np.ndarray):
+        """densepose I-channel [H,W] raw values; normalized /12-1 like the
+        datasets (data/pose_attr_dataset.py:85)."""
+        pose = np.asarray(densepose_i_channel, np.float32) / 12.0 - 1.0
+        self.pose = jnp.asarray(pose)[None, :, :, None]
+
+    # -- step 2: shape text -> parsing (ui_demo.py:102-134)
+
+    def generate_parsing(self, shape_text: str) -> np.ndarray:
+        assert self.pose is not None, "feed_pose first"
+        attrs = generate_shape_attributes(shape_text, encoder=self.text_encoder)
+        self.shape_attr = jnp.asarray([attrs], jnp.int32)
+        segm = self.pipe.generate_parsing(self.params, self.pose, self.shape_attr)
+        self.segm = np.array(segm[0])  # writable copy for brush edits
+        return segm_to_palette(self.segm)
+
+    # -- step 3: brush edits (ui_demo.py:136-147 stroke replay)
+
+    def paint(self, cls_id: int, coords: Sequence[Tuple[int, int]], brush: int = 3):
+        """Paint ``cls_id`` at (y, x) centers with a square brush, like the
+        demo's per-class stroke replay."""
+        assert self.segm is not None, "generate_parsing first"
+        h, w = self.segm.shape
+        r = brush // 2
+        for y, x in coords:
+            y0, y1 = max(0, y - r), min(h, y + r + 1)
+            x0, x1 = max(0, x - r), min(w, x + r + 1)
+            self.segm[y0:y1, x0:x1] = cls_id
+
+    def set_parsing_rgb(self, rgb: np.ndarray):
+        """Replace the parsing map from an edited palette image."""
+        self.segm = palette_to_segm(rgb)
+
+    # -- step 4: texture text -> image (ui_demo.py:154-179)
+
+    def generate_human(self, texture_text: str, sample_steps: int = 0) -> np.ndarray:
+        assert self.segm is not None, "generate_parsing first"
+        attrs = generate_texture_attributes(texture_text)
+        self.texture_attrs = attrs
+        upper, lower, outer = (jnp.asarray([a], jnp.int32) for a in attrs)
+        segm = jnp.asarray(self.segm)[None]
+        texture_mask = texture_mask_from_segm(segm, upper, lower, outer)
+        imgs = self.pipe.sample_from_parsing(
+            self.params, self._next_key(), segm, texture_mask, sample_steps
+        )
+        return np.asarray(imgs[0])
