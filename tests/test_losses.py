@@ -1,0 +1,115 @@
+"""Loss-layer tests: numerics vs torch where available."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2human_tpu.losses.ce import accuracy, bce_with_logits, bce_with_quant, cross_entropy
+from text2human_tpu.losses.vqgan_loss import (
+    adopt_weight,
+    calculate_adaptive_weight,
+    diff_augment,
+    hinge_d_loss,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def test_cross_entropy_matches_torch(rng):
+    logits = rng.standard_normal((4, 7, 10)).astype(np.float32)
+    labels = rng.integers(0, 10, (4, 7))
+    labels[0, :3] = -1  # ignored
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), ignore_index=-1))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).permute(0, 2, 1),
+        torch.from_numpy(labels),
+        ignore_index=-1,
+    ).item()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_bce_matches_torch(rng):
+    logits = rng.standard_normal((4, 5)).astype(np.float32)
+    targets = rng.uniform(0, 1, (4, 5)).astype(np.float32)
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets)
+    ).item()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_bce_with_quant_log_keys(rng):
+    logits = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+    target = jnp.asarray(rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32))
+    loss, log = bce_with_quant(jnp.float32(0.5), target, logits, split="train")
+    assert set(log) == {"train/total_loss", "train/bce_loss", "train/quant_loss"}
+    assert float(loss) == pytest.approx(
+        float(log["train/bce_loss"]) + 0.5, rel=1e-6
+    )
+
+
+def test_hinge_d_loss_matches_torch(rng):
+    real = rng.standard_normal((4, 6)).astype(np.float32)
+    fake = rng.standard_normal((4, 6)).astype(np.float32)
+    got = float(hinge_d_loss(jnp.asarray(real), jnp.asarray(fake)))
+    want = 0.5 * (
+        torch.mean(torch.relu(1.0 - torch.from_numpy(real)))
+        + torch.mean(torch.relu(1.0 + torch.from_numpy(fake)))
+    )
+    assert got == pytest.approx(want.item(), rel=1e-6)
+
+
+def test_adopt_weight_gate():
+    assert float(adopt_weight(1.0, jnp.int32(5), threshold=10)) == 0.0
+    assert float(adopt_weight(1.0, jnp.int32(15), threshold=10)) == 1.0
+
+
+def test_adaptive_weight_ratio():
+    nll_grad = jnp.full((3, 3), 2.0)
+    g_grad = jnp.full((3, 3), 1.0)
+    w = float(calculate_adaptive_weight(nll_grad, g_grad, disc_weight_max=10.0))
+    assert w == pytest.approx(2.0, rel=1e-3)
+    # clipped at max
+    w = float(calculate_adaptive_weight(nll_grad, g_grad, disc_weight_max=1.5))
+    assert w == 1.5
+
+
+def test_accuracy_topk(rng):
+    logits = np.zeros((2, 4, 5), np.float32)
+    target = rng.integers(0, 5, (2, 4))
+    for b in range(2):
+        for i in range(4):
+            logits[b, i, target[b, i]] = 1.0
+    acc = float(accuracy(jnp.asarray(logits), jnp.asarray(target)))
+    assert acc == pytest.approx(100.0)
+
+
+def test_diff_augment_properties(rng):
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 16, 8, 3)).astype(np.float32))
+    key = jax.random.key(0)
+    y = diff_augment(key, x, "color,translation")
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # deterministic per key, varies across keys
+    y2 = diff_augment(key, x, "color,translation")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2))
+    y3 = diff_augment(jax.random.key(1), x, "color,translation")
+    assert not np.allclose(np.asarray(y), np.asarray(y3))
+    # differentiable
+    g = jax.grad(lambda xx: jnp.sum(diff_augment(key, xx, "color")))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    # cutout zeroes a region
+    y4 = diff_augment(key, jnp.ones_like(x), "cutout")
+    assert float(y4.min()) == 0.0
+
+
+def test_translation_zero_pad_border(rng):
+    """Shifted-in border pixels come from zero padding (vqgan_loss.py:63-79)."""
+    from text2human_tpu.losses.vqgan_loss import _rand_translation
+
+    x = jnp.ones((8, 16, 16, 1))
+    key = jax.random.key(3)
+    y = np.asarray(_rand_translation(key, x))
+    # every sample either untranslated or has a zero strip on some edge
+    assert y.min() == 0.0 or np.allclose(y, 1.0)

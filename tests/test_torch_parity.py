@@ -1,0 +1,153 @@
+"""Numeric parity of core ops vs torch — these semantics gate checkpoint
+compatibility with the reference's weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2human_tpu.ops.blocks import AttnBlock, Downsample, GroupNorm, Upsample
+from text2human_tpu.ops.nn import (
+    bilinear_resize,
+    nearest_downsample_mask,
+    nearest_resize,
+    nearest_upsample2x,
+    swish,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def to_torch(x_nhwc):
+    return torch.from_numpy(np.asarray(x_nhwc).transpose(0, 3, 1, 2))
+
+
+def from_torch(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def test_groupnorm_matches_torch(rng):
+    c = 64
+    x = rng.standard_normal((2, 8, 4, c)).astype(np.float32)
+    scale = rng.standard_normal(c).astype(np.float32)
+    bias = rng.standard_normal(c).astype(np.float32)
+
+    gn = GroupNorm()
+    params = {"params": {"GroupNorm_0": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}}
+    got = np.asarray(gn.apply(params, jnp.asarray(x)))
+
+    tgn = torch.nn.GroupNorm(32, c, eps=1e-6)
+    tgn.weight.data = torch.from_numpy(scale)
+    tgn.bias.data = torch.from_numpy(bias)
+    want = from_torch(tgn(to_torch(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_swish_matches_torch(rng):
+    x = rng.standard_normal((4, 5)).astype(np.float32)
+    got = np.asarray(swish(jnp.asarray(x)))
+    want = (torch.from_numpy(x) * torch.sigmoid(torch.from_numpy(x))).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_downsample_asymmetric_pad_matches_torch(rng):
+    c = 8
+    x = rng.standard_normal((1, 9, 7, c)).astype(np.float32)
+    w = rng.standard_normal((c, c, 3, 3)).astype(np.float32) * 0.1
+    b = rng.standard_normal(c).astype(np.float32)
+
+    down = Downsample()
+    params = {
+        "params": {
+            "conv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)), "bias": jnp.asarray(b)}
+        }
+    }
+    got = np.asarray(down.apply(params, jnp.asarray(x)))
+
+    xt = to_torch(x)
+    xt = torch.nn.functional.pad(xt, (0, 1, 0, 1))
+    conv = torch.nn.Conv2d(c, c, 3, stride=2, padding=0)
+    conv.weight.data = torch.from_numpy(w)
+    conv.bias.data = torch.from_numpy(b)
+    want = from_torch(conv(xt))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_upsample_nearest_matches_torch(rng):
+    x = rng.standard_normal((1, 4, 3, 2)).astype(np.float32)
+    got = np.asarray(nearest_upsample2x(jnp.asarray(x)))
+    want = from_torch(
+        torch.nn.functional.interpolate(to_torch(x), scale_factor=2.0, mode="nearest")
+    )
+    np.testing.assert_allclose(got, want)
+
+
+def test_nearest_resize_matches_torch(rng):
+    x = rng.standard_normal((1, 12, 10, 3)).astype(np.float32)
+    for size in [(6, 5), (4, 2), (24, 20), (3, 7)]:
+        got = np.asarray(nearest_resize(jnp.asarray(x), size))
+        want = from_torch(
+            torch.nn.functional.interpolate(to_torch(x), size=size, mode="nearest")
+        )
+        np.testing.assert_allclose(got, want, err_msg=str(size))
+
+
+def test_nearest_downsample_mask_matches_torch(rng):
+    """texture mask downsampling to latent (vqgan_arch.py:222)."""
+    mask = rng.integers(0, 18, (2, 32, 16)).astype(np.float32)
+    got = np.asarray(nearest_downsample_mask(jnp.asarray(mask), (8, 4)))
+    want = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(mask)[:, None], size=(8, 4), mode="nearest"
+        )[:, 0]
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want)
+
+
+def test_bilinear_resize_matches_torch(rng):
+    x = rng.standard_normal((1, 8, 6, 3)).astype(np.float32)
+    for size, align in [((16, 12), False), ((4, 3), False), ((16, 12), True)]:
+        got = np.asarray(bilinear_resize(jnp.asarray(x), size, align_corners=align))
+        want = from_torch(
+            torch.nn.functional.interpolate(
+                to_torch(x), size=size, mode="bilinear", align_corners=align
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"{size},{align}")
+
+
+def test_attn_block_matches_reference_math(rng):
+    """Single-head full HWxHW attention (vqgan_arch.py:636-661)."""
+    c, h, w = 8, 4, 3
+    x = rng.standard_normal((1, h, w, c)).astype(np.float32)
+
+    attn = AttnBlock()
+    variables = attn.init(jax.random.key(0), jnp.asarray(x))
+    got = np.asarray(attn.apply(variables, jnp.asarray(x)))
+
+    # torch-side reference using the same params
+    p = variables["params"]
+
+    def conv1x1(t, name):
+        k = np.asarray(p[name]["kernel"])[0, 0]  # [I, O]
+        bias = np.asarray(p[name]["bias"])
+        return torch.einsum("nchw,co->nohw", t, torch.from_numpy(k)) + torch.from_numpy(
+            bias
+        ).view(1, -1, 1, 1)
+
+    gn = torch.nn.GroupNorm(8, c, eps=1e-6)
+    gn.weight.data = torch.from_numpy(np.asarray(p["norm"]["GroupNorm_0"]["scale"]))
+    gn.bias.data = torch.from_numpy(np.asarray(p["norm"]["GroupNorm_0"]["bias"]))
+
+    xt = to_torch(x)
+    hn = gn(xt)
+    q = conv1x1(hn, "q").reshape(1, c, h * w).permute(0, 2, 1)
+    k = conv1x1(hn, "k").reshape(1, c, h * w)
+    v = conv1x1(hn, "v").reshape(1, c, h * w)
+    att = torch.bmm(q, k) * (c ** -0.5)
+    att = torch.softmax(att, dim=2)
+    out = torch.bmm(v, att.permute(0, 2, 1)).reshape(1, c, h, w)
+    out = conv1x1(out, "proj_out")
+    want = from_torch(xt + out)
+    np.testing.assert_allclose(got, want, atol=1e-5)
