@@ -1,0 +1,79 @@
+"""Auxiliary subsystem tests: profiling timer, FID machinery, checkpoint IO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2human_tpu.utils.fid import (
+    RunningMoments,
+    compute_fid,
+    frechet_distance,
+    vgg_feature_extractor,
+)
+from text2human_tpu.utils.profiling import StepTimer, block_on
+from text2human_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_step_timer():
+    t = StepTimer()
+    x = jnp.ones((64, 64))
+    for _ in range(3):
+        with t.measure(result_tree=x):
+            x = x @ x
+    s = t.summary()
+    assert s["mean_s"] > 0 and s["steps_per_sec"] > 0
+    assert len(t.times) == 3
+
+
+def test_running_moments_match_numpy(rng):
+    data = rng.standard_normal((100, 6)).astype(np.float32)
+    rm = RunningMoments(6)
+    for i in range(0, 100, 16):
+        rm.update(data[i : i + 16])
+    mu, cov = rm.finalize()
+    np.testing.assert_allclose(mu, data.mean(axis=0), atol=1e-5)
+    np.testing.assert_allclose(cov, np.cov(data, rowvar=False), atol=1e-4)
+
+
+def test_frechet_distance_properties(rng):
+    mu = rng.standard_normal(4)
+    cov = np.eye(4)
+    assert frechet_distance(mu, cov, mu, cov) == pytest.approx(0.0, abs=1e-6)
+    # translating the mean adds ||d||^2
+    d = np.ones(4)
+    assert frechet_distance(mu, cov, mu + d, cov) == pytest.approx(4.0, abs=1e-5)
+
+
+def test_compute_fid_separates_distributions(rng):
+    from text2human_tpu.losses.perceptual import LPIPS
+
+    lpips = LPIPS()
+    x0 = jnp.zeros((1, 32, 32, 3))
+    lvars = lpips.init(jax.random.key(0), x0, x0)
+    extract = vgg_feature_extractor(lpips, lvars)
+
+    real = [rng.uniform(0.4, 0.6, (8, 32, 32, 3)).astype(np.float32) for _ in range(2)]
+    same = [rng.uniform(0.4, 0.6, (8, 32, 32, 3)).astype(np.float32) for _ in range(2)]
+    diff = [rng.uniform(0.0, 1.0, (8, 32, 32, 3)).astype(np.float32) ** 3 for _ in range(2)]
+
+    fid_same = compute_fid(real, same, extract)
+    fid_diff = compute_fid(real, diff, extract)
+    assert fid_diff > fid_same >= 0.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)},
+        "step": jnp.int32(7),
+    }
+    path = str(tmp_path / "ckpt" / "5")
+    save_checkpoint(path, tree)
+    restored = load_checkpoint(path, target=tree)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(6.0).reshape(2, 3))
+    assert int(restored["step"]) == 7
+    assert latest_checkpoint(str(tmp_path / "ckpt")).endswith("5")

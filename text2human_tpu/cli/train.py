@@ -242,6 +242,9 @@ def main(argv=None):
     parser.add_argument("--max-iters", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (debug runs)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint (full state: "
+                             "params, optimizer, step — absent in the reference)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -279,10 +282,27 @@ def main(argv=None):
 
     current_iter = 0
     best = None
-    for epoch in range(num_epochs):
+    start_epoch = 0
+    resume_path = None
+    if args.resume:
+        from text2human_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+
+        resume_path = latest_checkpoint(opt["path"]["models"])
+
+    for epoch in range(start_epoch, num_epochs):
         for batch in loader:
             if current_iter == 0:
                 loop.init(batch)
+                if resume_path:
+                    from text2human_tpu.utils.checkpoint import load_checkpoint
+
+                    restored = load_checkpoint(
+                        resume_path, target={"state": loop.state, "epoch": 0}
+                    )
+                    loop.state = restored["state"]
+                    logger.info(
+                        f"resumed from {resume_path} at step {int(loop.state.step)}"
+                    )
             lr = loop.set_lr(epoch, current_iter)
             t0 = time.time()
             logs = loop.step(batch)
@@ -308,7 +328,7 @@ def main(argv=None):
             if best is None or score > best:
                 best = score
                 save_checkpoint(
-                    osp.join(opt["path"]["models"], f"epoch_{epoch}"),
+                    osp.join(opt["path"]["models"], str(epoch)),
                     {"state": loop.state, "epoch": epoch},
                 )
                 logger.info(f"saved best checkpoint at epoch {epoch}")

@@ -1,0 +1,89 @@
+"""Frechet distance evaluation harness.
+
+The reference reports FID only in the paper, with no in-repo evaluator
+(BASELINE.md).  This module provides the statistics pipeline — batched feature
+extraction, running mean/covariance, and the Frechet distance — with a
+pluggable feature extractor.  With converted InceptionV3 weights this is
+standard FID; the built-in fallback uses the LPIPS VGG16 tower's deepest
+features, which is a consistent relative quality metric in zero-egress
+environments (absolute values are not comparable to Inception-FID).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class RunningMoments:
+    """Streaming mean and covariance over feature batches."""
+
+    def __init__(self, dim: int):
+        self.n = 0
+        self.sum = np.zeros(dim, np.float64)
+        self.outer = np.zeros((dim, dim), np.float64)
+
+    def update(self, feats: np.ndarray):
+        feats = np.asarray(feats, np.float64)
+        self.n += feats.shape[0]
+        self.sum += feats.sum(axis=0)
+        self.outer += feats.T @ feats
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        mu = self.sum / self.n
+        cov = self.outer / self.n - np.outer(mu, mu)
+        cov *= self.n / max(self.n - 1, 1)
+        return mu, cov
+
+
+def frechet_distance(
+    mu1: np.ndarray, cov1: np.ndarray, mu2: np.ndarray, cov2: np.ndarray
+) -> float:
+    """||mu1-mu2||^2 + tr(cov1 + cov2 - 2 (cov1 cov2)^(1/2))."""
+    diff = mu1 - mu2
+    # sqrtm via eigendecomposition of the symmetrized product
+    prod = cov1 @ cov2
+    eigvals = np.linalg.eigvals(prod)
+    covmean_trace = np.sum(np.sqrt(np.maximum(eigvals.real, 0.0)))
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * covmean_trace)
+
+
+def vgg_feature_extractor(lpips_module, lpips_vars) -> Callable:
+    """Deepest-VGG-feature extractor from the LPIPS tower (mean-pooled)."""
+    from text2human_tpu.losses.perceptual import VGG16Features, _SCALE, _SHIFT
+
+    vgg = VGG16Features()
+    vgg_params = {"params": lpips_vars["params"]["vgg"]}
+
+    @jax.jit
+    def extract(images01: jax.Array) -> jax.Array:
+        x = images01 * 2.0 - 1.0  # [0,1] -> [-1,1]
+        x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+        feats = vgg.apply(vgg_params, x)
+        return jnp.mean(feats[-1], axis=(1, 2))  # [N, 512]
+
+    return extract
+
+
+def compute_fid(
+    real_batches: Iterable[np.ndarray],
+    fake_batches: Iterable[np.ndarray],
+    extract: Callable,
+) -> float:
+    """images in [0,1], NHWC.  Returns the Frechet distance between feature
+    distributions."""
+    moments = []
+    for batches in (real_batches, fake_batches):
+        rm: Optional[RunningMoments] = None
+        for batch in batches:
+            feats = np.asarray(extract(jnp.asarray(batch)))
+            if rm is None:
+                rm = RunningMoments(feats.shape[1])
+            rm.update(feats)
+        assert rm is not None and rm.n >= 2, "need at least 2 samples per side"
+        moments.append(rm.finalize())
+    (mu1, cov1), (mu2, cov2) = moments
+    return frechet_distance(mu1, cov1, mu2, cov2)
