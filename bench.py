@@ -21,6 +21,12 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: the full pipeline compile is ~10 min over
+    # the remote-compile tunnel; cached reruns skip it.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from text2human_tpu import config as C
