@@ -1,0 +1,32 @@
+"""Train-CLI smoke tests, including the data-parallel mesh path."""
+
+import os
+import shutil
+
+import pytest
+
+from text2human_tpu.cli import train as train_cli
+
+
+@pytest.fixture(autouse=True)
+def clean_experiments():
+    shutil.rmtree("experiments", ignore_errors=True)
+    yield
+    shutil.rmtree("experiments", ignore_errors=True)
+
+
+def test_train_cli_segm_tokenizer_dp():
+    """Two synthetic steps with the 8-device dp mesh."""
+    train_cli.main([
+        "-opt", "configs/debug/parsing_token_debug.yml",
+        "--synthetic", "--max-iters", "2", "--dp",
+    ])
+    assert os.path.exists("experiments/parsing_token_debug/metrics.jsonl")
+
+
+def test_train_cli_sampler():
+    train_cli.main([
+        "-opt", "configs/debug/sampler_debug.yml",
+        "--synthetic", "--max-iters", "2",
+    ])
+    assert os.path.exists("experiments/sampler_debug/metrics.jsonl")

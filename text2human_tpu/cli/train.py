@@ -90,7 +90,7 @@ def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 class TrainLoop:
     """Adapter running any of the six trainers over the shared epoch loop."""
 
-    def __init__(self, opt, trainer, synthetic: bool):
+    def __init__(self, opt, trainer, synthetic: bool, mesh=None):
         self.opt = opt
         self.trainer = trainer
         self.mt = opt["model_type"]
@@ -98,6 +98,24 @@ class TrainLoop:
         self.synthetic = synthetic
         self.state = None
         self.frozen: Dict[str, Any] = {}
+        self.mesh = mesh
+
+    def _shard(self, batch):
+        if self.mesh is None:
+            return batch
+        from text2human_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(self.mesh, batch)
+
+    def _distribute_state(self):
+        if self.mesh is None:
+            return
+        from text2human_tpu.parallel.mesh import replicate_tree
+
+        self.state = replicate_tree(self.mesh, self.state)
+        self.frozen = {
+            k: replicate_tree(self.mesh, v) for k, v in self.frozen.items()
+        }
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -178,7 +196,7 @@ class TrainLoop:
 
     def step(self, batch) -> Dict[str, float]:
         t, mt = self.trainer, self.mt
-        b = to_device_batch(batch)
+        b = self._shard(to_device_batch(batch))
         if mt == "VQSegmentationModel":
             self.state, logs = t.train_step(self.state, b)
         elif mt in ("VQImageModel", "VQImageSegmTextureModel",
@@ -245,6 +263,10 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint (full state: "
                              "params, optimizer, step — absent in the reference)")
+    parser.add_argument("--dp", action="store_true",
+                        help="data-parallel over all local devices: batches "
+                             "sharded on a dp mesh, params replicated, grads "
+                             "psum'd by XLA")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -269,7 +291,17 @@ def main(argv=None):
     val_loader = DataLoader(val_ds, batch_size=1, num_workers=2, drop_last=False)
 
     trainer = build_trainer(opt)
-    loop = TrainLoop(opt, trainer, args.synthetic)
+    mesh = None
+    if args.dp:
+        from text2human_tpu.parallel.mesh import make_mesh
+
+        bs = opt.get("batch_size") or 4
+        n = len(jax.devices())
+        # dp must divide the batch: use the largest divisor of bs <= n devices
+        dp = max(d for d in range(1, min(bs, n) + 1) if bs % d == 0)
+        mesh = make_mesh({"dp": dp}, jax.devices()[:dp])
+        logger.info(f"data-parallel mesh: {mesh.shape} (batch {bs})")
+    loop = TrainLoop(opt, trainer, args.synthetic, mesh=mesh)
 
     num_epochs = opt.get("num_epochs") or 100
     total_iters = num_epochs * max(len(loader), 1)
@@ -293,6 +325,7 @@ def main(argv=None):
         for batch in loader:
             if current_iter == 0:
                 loop.init(batch)
+                loop._distribute_state()
                 if resume_path:
                     from text2human_tpu.utils.checkpoint import load_checkpoint
 

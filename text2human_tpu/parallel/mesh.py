@@ -98,6 +98,12 @@ def shard_params(mesh: Mesh, params: Any, specs: Optional[Any] = None) -> Any:
     )
 
 
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    """Fully replicate a pytree over the mesh (params/opt state for pure dp)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def named_shardings(mesh: Mesh, specs: Any) -> Any:
     return jax.tree.map(
         lambda s: NamedSharding(mesh, s),
