@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from text2human_tpu.ops.quantize import masked_nearest_indices
+from text2human_tpu.ops.quantize import masked_nearest_indices_xla
 from text2human_tpu.ops.vq_pallas import masked_nearest_indices_pallas
 
 
@@ -15,7 +15,7 @@ def test_pallas_vq_matches_xla(rng):
     cb = rng.integers(0, k, n).astype(np.int32)
 
     want = np.asarray(
-        masked_nearest_indices(jnp.asarray(z), jnp.asarray(books), jnp.asarray(cb))
+        masked_nearest_indices_xla(jnp.asarray(z), jnp.asarray(books), jnp.asarray(cb))
     )
     got = np.asarray(
         masked_nearest_indices_pallas(

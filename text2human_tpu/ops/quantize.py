@@ -60,6 +60,29 @@ def nearest_codebook_indices(z_flat: jax.Array, codebook: jax.Array) -> jax.Arra
     return jnp.argmin(d, axis=1).astype(jnp.int32)
 
 
+# nearest-neighbour implementation selector: 'xla' (dense matmul + select) or
+# 'pallas' (fused streaming kernel, TPU only) or 'auto' (pallas on TPU).
+_VQ_IMPL = "auto"
+
+
+def set_vq_impl(impl: str):
+    """Select the codebook-search implementation: 'xla' | 'pallas' | 'auto'."""
+    global _VQ_IMPL
+    assert impl in ("xla", "pallas", "auto"), impl
+    _VQ_IMPL = impl
+
+
+def _use_pallas() -> bool:
+    if _VQ_IMPL == "pallas":
+        return True
+    if _VQ_IMPL == "auto":
+        try:
+            return jax.default_backend() == "tpu"
+        except RuntimeError:
+            return False
+    return False
+
+
 def masked_nearest_indices(
     z_flat: jax.Array, codebooks: jax.Array, cb_ids: jax.Array
 ) -> jax.Array:
@@ -67,11 +90,24 @@ def masked_nearest_indices(
 
     z_flat: [N, d]; codebooks: [K, n_e, d]; cb_ids: [N] int32 -> [N] int32.
 
-    Computes distances to all K*n_e entries with one matmul (the K=18, n_e=1024
-    search over a 32x16 latent is ~10 GFLOP at batch 4 — microseconds on the
-    MXU) then selects the row for each pixel's codebook; this replaces the
-    reference's data-dependent boolean gather loop.
+    Dispatches to the fused Pallas kernel on TPU (no [N, K*n_e] HBM
+    intermediate) or the dense XLA path elsewhere; both are index-exact
+    (tests/test_vq_pallas.py).
     """
+    if _use_pallas():
+        from text2human_tpu.ops.vq_pallas import masked_nearest_indices_pallas
+
+        return masked_nearest_indices_pallas(z_flat, codebooks, cb_ids)
+    return masked_nearest_indices_xla(z_flat, codebooks, cb_ids)
+
+
+def masked_nearest_indices_xla(
+    z_flat: jax.Array, codebooks: jax.Array, cb_ids: jax.Array
+) -> jax.Array:
+    """Dense path: distances to all K*n_e entries with one matmul (the K=18,
+    n_e=1024 search over a 32x16 latent is ~10 GFLOP at batch 4 — microseconds
+    on the MXU) then a per-pixel row select; this replaces the reference's
+    data-dependent boolean gather loop."""
     k, n_e, dim = codebooks.shape
     flat_books = codebooks.reshape(k * n_e, dim)
     d = (

@@ -94,8 +94,9 @@ def masked_nearest_indices_pallas(
         cb_ids = jnp.pad(cb_ids, (0, n_pad))
     n_total = z_flat.shape[0]
 
-    chunk = min(1024, total)
-    assert total % chunk == 0, (total, chunk)
+    # largest divisor of total <= 1024 keeps the chunk loop exact for any
+    # codebook geometry
+    chunk = max(c for c in range(1, min(1024, total) + 1) if total % c == 0)
 
     grid = (n_total // tile_n, total // chunk)
     out = pl.pallas_call(
