@@ -212,6 +212,49 @@ class TrainLoop:
             self.state, logs = t.train_step(self.state, b, self._next_key())
         return {k: float(v) for k, v in logs.items()}
 
+    def save_visuals(self, batch, vis_dir: str, epoch: int):
+        """Side-by-side input/output grids per val epoch (the reference's
+        empirical QC, e.g. models/vqgan_model.py:234-238)."""
+        from PIL import Image
+
+        from text2human_tpu.ui.session import segm_to_palette
+
+        os.makedirs(vis_dir, exist_ok=True)
+        t, mt = self.trainer, self.mt
+        b = to_device_batch(batch)
+
+        def put(path, arr01):
+            arr = np.clip(np.asarray(arr01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(path)
+
+        if mt == "VQSegmentationModel":
+            rec = np.asarray(t.reconstruct(self.state.params, b["segm"]))
+            pair = np.concatenate(
+                [segm_to_palette(np.asarray(b["segm"][0])), segm_to_palette(rec[0])],
+                axis=1,
+            )
+            Image.fromarray(pair).save(
+                osp.join(vis_dir, f"epoch{epoch}_segm_recon.png")
+            )
+        elif mt in ("VQImageModel", "VQImageSegmTextureModel",
+                    "HierarchyVQSpatialTextureAwareModel"):
+            xrec, _, _ = t.ae_apply(
+                self.state.params["gen"], b["image"], b.get("texture_mask")
+            )
+            pair = jnp.concatenate([b["image"][0], xrec[0]], axis=1)
+            put(osp.join(vis_dir, f"epoch{epoch}_recon.png"),
+                jnp.clip((pair + 1) / 2, 0, 1))
+        elif mt == "ParsingGenModel":
+            ev = t.eval_step(self.state.params, self.state.batch_stats, b)
+            pair = np.concatenate(
+                [segm_to_palette(np.asarray(b["segm"][0])),
+                 segm_to_palette(np.asarray(ev["pred"][0]))],
+                axis=1,
+            )
+            Image.fromarray(pair).save(
+                osp.join(vis_dir, f"epoch{epoch}_parsing.png")
+            )
+
     def validate(self, loader) -> Dict[str, float]:
         t, mt = self.trainer, self.mt
         sums: Dict[str, float] = {}
@@ -357,6 +400,11 @@ def main(argv=None):
         if (epoch + 1) % (opt.get("val_freq") or 5) == 0:
             val = loop.validate(val_loader)
             logger.info(f"epoch {epoch} validation: {val}")
+            try:
+                first = next(iter(val_loader))
+                loop.save_visuals(first, opt["path"]["visualization"], epoch)
+            except Exception as e:  # visualization must never kill training
+                logger.warning(f"visualization failed: {e}")
             score = val.get("accuracy", -val.get("nll_loss", val.get("val/total_loss", 0.0)))
             if best is None or score > best:
                 best = score
