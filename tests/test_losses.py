@@ -113,3 +113,33 @@ def test_translation_zero_pad_border(rng):
     y = np.asarray(_rand_translation(key, x))
     # every sample either untranslated or has a zero strip on some edge
     assert y.min() == 0.0 or np.allclose(y, 1.0)
+
+
+def test_binary_cross_entropy_onehot_expansion(rng):
+    logits = rng.standard_normal((3, 4)).astype(np.float32)
+    labels = np.array([0, 2, 255])  # last ignored
+    got = float(
+        __import__("text2human_tpu.losses.ce", fromlist=["binary_cross_entropy"])
+        .binary_cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
+    )
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits[:2]),
+        torch.nn.functional.one_hot(torch.tensor([0, 2]), 4).float(),
+    ).item()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_mask_cross_entropy(rng):
+    from text2human_tpu.losses.ce import mask_cross_entropy
+
+    logits = rng.standard_normal((4, 5)).astype(np.float32)
+    target = rng.uniform(0, 1, (4,)).astype(np.float32)
+    label = np.array([0, 1, 2, 3])
+    got = float(
+        mask_cross_entropy(jnp.asarray(logits), jnp.asarray(target), jnp.asarray(label))
+    )
+    sel = logits[np.arange(4), label]
+    want = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.from_numpy(sel), torch.from_numpy(target)
+    ).item()
+    assert got == pytest.approx(want, rel=1e-5)

@@ -64,6 +64,47 @@ def bce_with_quant(
     return loss, log
 
 
+def binary_cross_entropy(
+    logits: jax.Array,
+    labels: jax.Array,
+    ignore_index: int = 255,
+) -> jax.Array:
+    """Per-class BCE with one-hot-expanded integer labels
+    (reference models/losses/cross_entropy_loss.py:106-146).
+
+    logits [..., C]; labels integer [...] (expanded) or float same shape.
+    """
+    if labels.shape == logits.shape:
+        target = labels.astype(jnp.float32)
+        weight = jnp.ones_like(target)
+    else:
+        valid = (labels >= 0) & (labels != ignore_index)
+        safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+        target = jax.nn.one_hot(safe, logits.shape[-1], dtype=jnp.float32)
+        target = target * valid[..., None].astype(jnp.float32)
+        weight = jnp.broadcast_to(
+            valid[..., None].astype(jnp.float32), logits.shape
+        )
+    zeros = jnp.zeros_like(logits)
+    loss = (
+        jnp.maximum(logits, zeros)
+        - logits * target
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    denom = jnp.maximum(jnp.sum(weight), 1.0)
+    return jnp.sum(loss * weight) / denom
+
+
+def mask_cross_entropy(
+    logits: jax.Array, target: jax.Array, label: jax.Array
+) -> jax.Array:
+    """BCE of the per-sample selected class channel
+    (reference cross_entropy_loss.py:149-184)."""
+    idx = label[:, None].astype(jnp.int32)
+    sel = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+    return bce_with_logits(sel, target.astype(jnp.float32))
+
+
 def accuracy(
     logits: jax.Array,
     target: jax.Array,
