@@ -61,8 +61,11 @@ def nearest_codebook_indices(z_flat: jax.Array, codebook: jax.Array) -> jax.Arra
 
 
 # nearest-neighbour implementation selector: 'xla' (dense matmul + select) or
-# 'pallas' (fused streaming kernel, TPU only) or 'auto' (pallas on TPU).
-_VQ_IMPL = "auto"
+# 'pallas' (fused streaming kernel, TPU only) or 'auto' (pallas when the
+# default backend is TPU).  Default is 'xla': 'auto' mis-dispatches when a
+# computation is explicitly placed on CPU (e.g. param init under
+# jax.default_device) while the default backend is TPU.
+_VQ_IMPL = "xla"
 
 
 def set_vq_impl(impl: str):
