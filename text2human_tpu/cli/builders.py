@@ -30,7 +30,7 @@ from text2human_tpu.trainers.segm_tokenizer import (
 from text2human_tpu.trainers.top_vqgan import TopVQGANTrainer
 
 
-def vqgan_cfg(opt: Dict[str, Any], prefix: str = "") -> VQGANConfig:
+def vqgan_cfg(opt: Dict[str, Any], prefix: str = "", remat: bool = False) -> VQGANConfig:
     """Map reference YAML keys (configs/vqvae_top.yml:19-31 style) to VQGANConfig."""
 
     def g(key, default=None):
@@ -38,6 +38,7 @@ def vqgan_cfg(opt: Dict[str, Any], prefix: str = "") -> VQGANConfig:
         return default if v is None else v
 
     return VQGANConfig(
+        remat=remat,
         ch=g("ch", 128),
         ch_mult=tuple(g("ch_mult", (1, 1, 2, 2, 4))),
         num_res_blocks=g("num_res_blocks", 2),
@@ -113,7 +114,7 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
     if model_type in ("VQImageModel", "VQImageSegmTextureModel"):
         num_books = 18 if model_type == "VQImageSegmTextureModel" else 1
         return TopVQGANTrainer(
-            vqgan_cfg(opt),
+            vqgan_cfg(opt, remat=True),
             QuantizerConfig(
                 n_embed=opt.get("n_embed") or 1024,
                 embed_dim=opt.get("embed_dim") or 256,
@@ -125,11 +126,11 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
 
     if model_type == "HierarchyVQSpatialTextureAwareModel":
         return HierarchyVQGANTrainer(
-            vqgan_cfg(opt, "top_"),
+            vqgan_cfg(opt, "top_", remat=True),
             QuantizerConfig(
                 n_embed=1024, embed_dim=opt.get("embed_dim") or 256, num_codebooks=18
             ),
-            vqgan_cfg(opt, "bot_"),
+            vqgan_cfg(opt, "bot_", remat=True),
             QuantizerConfig(
                 n_embed=opt.get("bot_n_embed") or 512,
                 embed_dim=opt.get("embed_dim") or 256,

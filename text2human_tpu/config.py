@@ -100,6 +100,9 @@ class VQGANConfig:
     embed_dim: int = 256
     double_z: bool = False
     dropout: float = 0.0
+    # rematerialize res/attn blocks during backward (training at 512x256
+    # exceeds 16 GB HBM without it; inference paths leave it off)
+    remat: bool = False
 
     @property
     def num_resolutions(self) -> int:

@@ -32,6 +32,14 @@ from text2human_tpu.ops.blocks import (
 from text2human_tpu.ops.nn import swish
 
 
+def _block_types(cfg: VQGANConfig):
+    """Block constructors, remat-wrapped when cfg.remat (training at 512x256
+    exceeds 16 GB HBM without rematerialization)."""
+    if cfg.remat:
+        return nn.remat(ResnetBlock), nn.remat(AttnBlock)
+    return ResnetBlock, AttnBlock
+
+
 class Encoder(nn.Module):
     cfg: VQGANConfig
 
@@ -40,6 +48,7 @@ class Encoder(nn.Module):
         cfg = self.cfg
         num_res = cfg.num_resolutions
         in_ch_mult = (1,) + tuple(cfg.ch_mult)
+        Res, Attn = _block_types(cfg)
 
         h = nn.Conv(cfg.ch, (3, 3), padding="SAME", name="conv_in")(x)
 
@@ -47,22 +56,22 @@ class Encoder(nn.Module):
         for i_level in range(num_res):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks):
-                h = ResnetBlock(
+                h = Res(
                     out_channels=block_out,
                     dropout=cfg.dropout,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h, deterministic=deterministic)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(name=f"down_{i_level}_attn_{i_block}")(h)
+                    h = Attn(name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_res - 1:
                 h = Downsample(name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
 
-        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_1")(
+        h = Res(dropout=cfg.dropout, name="mid_block_1")(
             h, deterministic=deterministic
         )
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_2")(
+        h = Attn(name="mid_attn_1")(h)
+        h = Res(dropout=cfg.dropout, name="mid_block_2")(
             h, deterministic=deterministic
         )
 
@@ -90,29 +99,30 @@ class Decoder(nn.Module):
     ):
         cfg = self.cfg
         num_res = cfg.num_resolutions
+        Res, Attn = _block_types(cfg)
         block_in = cfg.ch * cfg.ch_mult[num_res - 1]
         curr_res = cfg.resolution // 2 ** (num_res - 1)
 
         h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
 
-        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_1")(
+        h = Res(dropout=cfg.dropout, name="mid_block_1")(
             h, deterministic=deterministic
         )
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_2")(
+        h = Attn(name="mid_attn_1")(h)
+        h = Res(dropout=cfg.dropout, name="mid_block_2")(
             h, deterministic=deterministic
         )
 
         for i_level in reversed(range(num_res)):
             block_out = cfg.ch * cfg.ch_mult[i_level]
             for i_block in range(cfg.num_res_blocks + 1):
-                h = ResnetBlock(
+                h = Res(
                     out_channels=block_out,
                     dropout=cfg.dropout,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h, deterministic=deterministic)
                 if curr_res in cfg.attn_resolutions:
-                    h = AttnBlock(name=f"up_{i_level}_attn_{i_block}")(h)
+                    h = Attn(name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
                 h = Upsample(name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
@@ -145,13 +155,14 @@ class DecoderRes(nn.Module):
     @nn.compact
     def __call__(self, z: jax.Array, *, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
+        Res, Attn = _block_types(cfg)
         block_in = cfg.ch * cfg.ch_mult[cfg.num_resolutions - 1]
         h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
-        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_1")(
+        h = Res(dropout=cfg.dropout, name="mid_block_1")(
             h, deterministic=deterministic
         )
-        h = AttnBlock(name="mid_attn_1")(h)
-        h = ResnetBlock(dropout=cfg.dropout, name="mid_block_2")(
+        h = Attn(name="mid_attn_1")(h)
+        h = Res(dropout=cfg.dropout, name="mid_block_2")(
             h, deterministic=deterministic
         )
         return h
