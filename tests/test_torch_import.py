@@ -256,3 +256,53 @@ def test_index_pred_converter_structure():
     variables = net.init(jax.random.key(0), jnp.zeros((1, 16, 8, 8)))
     assert_structure_matches(converted["params"], variables["params"])
     assert_structure_matches(converted["batch_stats"], variables["batch_stats"])
+
+
+def make_decoder_sd(cfg: VQGANConfig):
+    sd = {}
+    block_in = cfg.ch * cfg.ch_mult[-1]
+    _conv_sd(sd, "conv_in", cfg.z_channels, block_in, 3)
+    _resblock_sd(sd, "mid.block_1", block_in, block_in)
+    _attn_sd(sd, "mid.attn_1", block_in)
+    _resblock_sd(sd, "mid.block_2", block_in, block_in)
+    curr_res = cfg.resolution // 2 ** (cfg.num_resolutions - 1)
+    for lvl in reversed(range(cfg.num_resolutions)):
+        block_out = cfg.ch * cfg.ch_mult[lvl]
+        for blk in range(cfg.num_res_blocks + 1):
+            _resblock_sd(sd, f"up.{lvl}.block.{blk}", block_in, block_out)
+            block_in = block_out
+            if curr_res in cfg.attn_resolutions:
+                _attn_sd(sd, f"up.{lvl}.attn.{blk}", block_in)
+        if lvl != 0:
+            _conv_sd(sd, f"up.{lvl}.upsample.conv", block_in, block_in, 3)
+            curr_res *= 2
+    _norm_sd(sd, "norm_out", block_in)
+    _conv_sd(sd, "conv_out", block_in, cfg.out_ch, 3)
+    return {k: torch.from_numpy(v) for k, v in sd.items()}
+
+
+def test_top_vqgan_checkpoint_converter_structure():
+    """Full vqvae_top.pth-shaped checkpoint -> TextureVQGAN params (tiny dims)."""
+    from text2human_tpu.config import QuantizerConfig
+    from text2human_tpu.models.composites import TextureVQGAN
+
+    quant = QuantizerConfig(n_embed=8, embed_dim=8, num_codebooks=3)
+    enc_sd = make_encoder_sd(TINY)
+    dec_sd = make_decoder_sd(TINY)
+    q_sd = {
+        f"embedding_list.{k}.weight": torch.zeros(8, 8) for k in range(3)
+    }
+    cc = {"weight": torch.zeros(8, TINY.z_channels, 1, 1), "bias": torch.zeros(8)}
+    pc = {"weight": torch.zeros(TINY.z_channels, 8, 1, 1), "bias": torch.zeros(TINY.z_channels)}
+    ckpt = {
+        "encoder": enc_sd, "decoder": dec_sd, "quantize": q_sd,
+        "quant_conv": cc, "post_quant_conv": pc,
+    }
+    converted = ti.convert_top_vqgan(
+        ckpt, num_levels=TINY.num_resolutions, num_res_blocks=TINY.num_res_blocks
+    )
+    model = TextureVQGAN(TINY, quant)
+    init = model.init(
+        jax.random.key(0), jnp.zeros((1, 32, 16, 3)), jnp.zeros((1, 32, 16))
+    )["params"]
+    assert_structure_matches(converted["params"], init)

@@ -323,11 +323,13 @@ def shape_attr_params(sd: Dict, num_attrs: int = 15) -> Dict[str, Any]:
 # -- checkpoint-level converters --------------------------------------------
 
 
-def convert_top_vqgan(ckpt: Dict[str, Any]) -> Dict[str, Any]:
+def convert_top_vqgan(
+    ckpt: Dict[str, Any], num_levels: int = 5, num_res_blocks: int = 2
+) -> Dict[str, Any]:
     """vqvae_top.pth -> TextureVQGAN params (+ discriminator)."""
     params = {
-        "encoder": encoder_params(ckpt["encoder"], 5, 2),
-        "decoder": decoder_params(ckpt["decoder"], 5, 2),
+        "encoder": encoder_params(ckpt["encoder"], num_levels, num_res_blocks),
+        "decoder": decoder_params(ckpt["decoder"], num_levels, num_res_blocks),
         "quantize": quantizer_params(ckpt["quantize"]),
         "quant_conv": conv(ckpt["quant_conv"], ""),
         "post_quant_conv": conv(ckpt["post_quant_conv"], ""),
@@ -339,12 +341,14 @@ def convert_top_vqgan(ckpt: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def convert_segm_tokenizer(ckpt: Dict[str, Any]) -> Dict[str, Any]:
+def convert_segm_tokenizer(
+    ckpt: Dict[str, Any], num_levels: int = 5, num_res_blocks: int = 1
+) -> Dict[str, Any]:
     """parsing_token.pth -> SegmVQVAE params."""
     return {
         "params": {
-            "encoder": encoder_params(ckpt["encoder"], 5, 1),
-            "decoder": decoder_params(ckpt["decoder"], 5, 1),
+            "encoder": encoder_params(ckpt["encoder"], num_levels, num_res_blocks),
+            "decoder": decoder_params(ckpt["decoder"], num_levels, num_res_blocks),
             "quantize": quantizer_params(ckpt["quantize"]),
             "quant_conv": conv(ckpt["quant_conv"], ""),
             "post_quant_conv": conv(ckpt["post_quant_conv"], ""),
@@ -352,12 +356,17 @@ def convert_segm_tokenizer(ckpt: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
-def convert_bottom_vqgan(ckpt: Dict[str, Any]) -> Dict[str, Any]:
+def convert_bottom_vqgan(
+    ckpt: Dict[str, Any],
+    bot_levels: int = 4,
+    top_levels: int = 5,
+    num_res_blocks: int = 2,
+) -> Dict[str, Any]:
     """vqvae_bottom.pth -> the bottom/decoder part of HierarchyVQ params."""
     params = {
-        "bot_encoder": encoder_params(ckpt["bot_encoder"], 4, 2),
+        "bot_encoder": encoder_params(ckpt["bot_encoder"], bot_levels, num_res_blocks),
         "bot_decoder_res": decoder_res_params(ckpt["bot_decoder_res"]),
-        "decoder": decoder_params(ckpt["decoder"], 5, 2),
+        "decoder": decoder_params(ckpt["decoder"], top_levels, num_res_blocks),
         "bot_quantize": quantizer_params(ckpt["bot_quantize"]),
         "bot_quant_conv": conv(ckpt["bot_quant_conv"], ""),
         "bot_post_quant_conv": conv(ckpt["bot_post_quant_conv"], ""),
