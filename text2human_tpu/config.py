@@ -103,6 +103,9 @@ class VQGANConfig:
     # rematerialize res/attn blocks during backward (training at 512x256
     # exceeds 16 GB HBM without it; inference paths leave it off)
     remat: bool = False
+    # activation dtype for the conv stacks ("float32" | "bfloat16"); params,
+    # GroupNorm statistics and attention softmax stay float32
+    compute_dtype: str = "float32"
 
     @property
     def num_resolutions(self) -> int:

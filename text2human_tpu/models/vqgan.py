@@ -32,12 +32,23 @@ from text2human_tpu.ops.blocks import (
 from text2human_tpu.ops.nn import swish
 
 
+from functools import partial
+
+
 def _block_types(cfg: VQGANConfig):
-    """Block constructors, remat-wrapped when cfg.remat (training at 512x256
-    exceeds 16 GB HBM without rematerialization)."""
+    """Block constructors with the config's compute dtype, remat-wrapped when
+    cfg.remat (training at 512x256 exceeds 16 GB HBM without it)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    res, attn = ResnetBlock, AttnBlock
     if cfg.remat:
-        return nn.remat(ResnetBlock), nn.remat(AttnBlock)
-    return ResnetBlock, AttnBlock
+        res, attn = nn.remat(ResnetBlock), nn.remat(AttnBlock)
+    return partial(res, dtype=dtype), partial(attn, dtype=dtype)
+
+
+def _conv(cfg: VQGANConfig):
+    return partial(
+        nn.Conv, dtype=jnp.dtype(cfg.compute_dtype), param_dtype=jnp.float32
+    )
 
 
 class Encoder(nn.Module):
@@ -49,8 +60,9 @@ class Encoder(nn.Module):
         num_res = cfg.num_resolutions
         in_ch_mult = (1,) + tuple(cfg.ch_mult)
         Res, Attn = _block_types(cfg)
+        Conv = _conv(cfg)
 
-        h = nn.Conv(cfg.ch, (3, 3), padding="SAME", name="conv_in")(x)
+        h = Conv(cfg.ch, (3, 3), padding="SAME", name="conv_in")(x)
 
         curr_res = cfg.resolution
         for i_level in range(num_res):
@@ -64,7 +76,10 @@ class Encoder(nn.Module):
                 if curr_res in cfg.attn_resolutions:
                     h = Attn(name=f"down_{i_level}_attn_{i_block}")(h)
             if i_level != num_res - 1:
-                h = Downsample(name=f"down_{i_level}_downsample")(h)
+                h = Downsample(
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                    name=f"down_{i_level}_downsample",
+                )(h)
                 curr_res //= 2
 
         h = Res(dropout=cfg.dropout, name="mid_block_1")(
@@ -78,8 +93,8 @@ class Encoder(nn.Module):
         h = GroupNorm(name="norm_out")(h)
         h = swish(h)
         out_ch = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(h)
-        return h
+        h = Conv(out_ch, (3, 3), padding="SAME", name="conv_out")(h)
+        return h.astype(jnp.float32)
 
 
 class Decoder(nn.Module):
@@ -100,10 +115,11 @@ class Decoder(nn.Module):
         cfg = self.cfg
         num_res = cfg.num_resolutions
         Res, Attn = _block_types(cfg)
+        Conv = _conv(cfg)
         block_in = cfg.ch * cfg.ch_mult[num_res - 1]
         curr_res = cfg.resolution // 2 ** (num_res - 1)
 
-        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
+        h = Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
 
         h = Res(dropout=cfg.dropout, name="mid_block_1")(
             h, deterministic=deterministic
@@ -124,19 +140,22 @@ class Decoder(nn.Module):
                 if curr_res in cfg.attn_resolutions:
                     h = Attn(name=f"up_{i_level}_attn_{i_block}")(h)
             if i_level != 0:
-                h = Upsample(name=f"up_{i_level}_upsample")(h)
+                h = Upsample(
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                    name=f"up_{i_level}_upsample",
+                )(h)
                 curr_res *= 2
             # hierarchy fusion hook (reference vqgan_arch.py:1023-1024):
             # inject the bottom DecoderRes feature right after the deepest
             # level's upsample (i_level == num_res - 1, i.e. 4 for the top).
             if i_level == num_res - 1 and bot_h is not None:
-                h = h + bot_h
+                h = h + bot_h.astype(h.dtype)
 
         if self.give_pre_end:
-            return h
+            return h.astype(jnp.float32)
 
         h = GroupNorm(name="norm_out")(h)
-        a = swish(h)
+        a = swish(h).astype(jnp.float32)
         out = nn.Conv(cfg.out_ch, (3, 3), padding="SAME", name="conv_out")(a)
         if return_pre_out:
             # `a` is the input to conv_out — used by the GAN trainer to compute
@@ -157,7 +176,7 @@ class DecoderRes(nn.Module):
         cfg = self.cfg
         Res, Attn = _block_types(cfg)
         block_in = cfg.ch * cfg.ch_mult[cfg.num_resolutions - 1]
-        h = nn.Conv(block_in, (3, 3), padding="SAME", name="conv_in")(z)
+        h = _conv(cfg)(block_in, (3, 3), padding="SAME", name="conv_in")(z)
         h = Res(dropout=cfg.dropout, name="mid_block_1")(
             h, deterministic=deterministic
         )
@@ -165,7 +184,7 @@ class DecoderRes(nn.Module):
         h = Res(dropout=cfg.dropout, name="mid_block_2")(
             h, deterministic=deterministic
         )
-        return h
+        return h.astype(jnp.float32)
 
 
 class Discriminator(nn.Module):

@@ -10,7 +10,8 @@ Behavioral parity targets (reference models/archs/vqgan_arch.py):
 
 from __future__ import annotations
 
-from typing import Optional
+from functools import partial
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,29 +21,40 @@ from text2human_tpu.ops.nn import nearest_upsample2x, swish
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm(32) with eps 1e-6, matching the reference Normalize()."""
+    """GroupNorm(32) with eps 1e-6, matching the reference Normalize().
+
+    Statistics are always accumulated in float32; the result is cast back to
+    the input dtype (safe mixed precision)."""
 
     num_groups: int = 32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         groups = min(self.num_groups, x.shape[-1])
-        return nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=jnp.float32)(x)
+        out = nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(x.dtype)
 
 
 class Upsample(nn.Module):
     with_conv: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nearest_upsample2x(x)
         if self.with_conv:
-            x = nn.Conv(x.shape[-1], (3, 3), padding="SAME", name="conv")(x)
+            x = nn.Conv(
+                x.shape[-1], (3, 3), padding="SAME", dtype=self.dtype,
+                param_dtype=jnp.float32, name="conv",
+            )(x)
         return x
 
 
 class Downsample(nn.Module):
     with_conv: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -50,7 +62,8 @@ class Downsample(nn.Module):
             # torch pads (left=0, right=1, top=0, bottom=1) then VALID stride-2
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             x = nn.Conv(
-                x.shape[-1], (3, 3), strides=(2, 2), padding="VALID", name="conv"
+                x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
+                dtype=self.dtype, param_dtype=jnp.float32, name="conv",
             )(x)
         else:
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
@@ -61,46 +74,52 @@ class ResnetBlock(nn.Module):
     out_channels: Optional[int] = None
     conv_shortcut: bool = False
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
 
         h = GroupNorm(name="norm1")(x)
         h = swish(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
+        h = conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
 
         h = GroupNorm(name="norm2")(h)
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv2")(h)
+        h = conv(out_ch, (3, 3), padding="SAME", name="conv2")(h)
 
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv_shortcut")(x)
+                x = conv(out_ch, (3, 3), padding="SAME", name="conv_shortcut")(x)
             else:
-                x = nn.Conv(out_ch, (1, 1), name="nin_shortcut")(x)
+                x = conv(out_ch, (1, 1), name="nin_shortcut")(x)
         return x + h
 
 
 class AttnBlock(nn.Module):
-    """Single-head full spatial self-attention over H*W positions."""
+    """Single-head full spatial self-attention over H*W positions.
+    Softmax/logits accumulate in float32 regardless of activation dtype."""
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
         hid = GroupNorm(name="norm")(x)
-        q = nn.Conv(c, (1, 1), name="q")(hid).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), name="k")(hid).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), name="v")(hid).reshape(b, h * w, c)
+        q = conv(c, (1, 1), name="q")(hid).reshape(b, h * w, c)
+        k = conv(c, (1, 1), name="k")(hid).reshape(b, h * w, c)
+        v = conv(c, (1, 1), name="v")(hid).reshape(b, h * w, c)
 
         scale = c ** -0.5
         attn = jnp.einsum(
             "bic,bjc->bij", q, k, preferred_element_type=jnp.float32
         ) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("bij,bjc->bic", attn, v, preferred_element_type=jnp.float32)
-        out = out.reshape(b, h, w, c)
-        out = nn.Conv(c, (1, 1), name="proj_out")(out)
+        out = out.reshape(b, h, w, c).astype(x.dtype)
+        out = conv(c, (1, 1), name="proj_out")(out)
         return x + out
