@@ -32,12 +32,18 @@ class VGG16Features(nn.Module):
     """VGG16 tower returning post-ReLU features at the end of each block
     (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)."""
 
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x: jax.Array) -> List[jax.Array]:
         feats = []
+        x = x.astype(self.dtype)
         for b, (ch, n_layers) in enumerate(_VGG_PLAN):
             for i in range(n_layers):
-                x = nn.Conv(ch, (3, 3), padding="SAME", name=f"conv{b}_{i}")(x)
+                x = nn.Conv(
+                    ch, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"conv{b}_{i}",
+                )(x)
                 x = nn.relu(x)
             feats.append(x)
             if b < len(_VGG_PLAN) - 1:
@@ -51,7 +57,12 @@ def _unit_normalize(x: jax.Array, eps: float = 1e-10) -> jax.Array:
 
 
 class LPIPS(nn.Module):
-    """Learned perceptual distance: sum_l mean_hw( lin_l( (f_l(x)-f_l(y))^2 ) )."""
+    """Learned perceptual distance: sum_l mean_hw( lin_l( (f_l(x)-f_l(y))^2 ) ).
+
+    ``dtype`` runs the VGG tower in reduced precision; normalization and the
+    distance accumulation stay float32."""
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -60,12 +71,14 @@ class LPIPS(nn.Module):
         x = (x - shift) / scale
         y = (y - shift) / scale
 
-        vgg = VGG16Features(name="vgg")
+        vgg = VGG16Features(dtype=self.dtype, name="vgg")
         fx = vgg(x)
         fy = vgg(y)
 
         total = 0.0
         for l, (a, b) in enumerate(zip(fx, fy)):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
             diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
             lin = self.param(
                 "lin_%d" % l,

@@ -64,7 +64,7 @@ class HierarchyVQGANTrainer(GANTrainer):
         sample_shape=(1, 32, 16, 3),
     ):
         self.model = HierarchyVQ(top_cfg, top_quant, bot_cfg, bot_quant)
-        lpips = LPIPS()
+        lpips = LPIPS(dtype=jnp.dtype(top_cfg.compute_dtype))
         if lpips_vars is None:
             lpips_vars = lpips.init(
                 jax.random.key(0),

@@ -27,7 +27,9 @@ class TopVQGANTrainer(GANTrainer):
         disc: Optional[Discriminator] = None,
     ):
         self.model = TextureVQGAN(model_cfg, quant_cfg)
-        lpips = LPIPS()
+        import jax.numpy as jnp
+
+        lpips = LPIPS(dtype=jnp.dtype(model_cfg.compute_dtype))
         if lpips_vars is None:
             # untrained perceptual tower (random projection); load converted
             # torchvision/lpips weights for parity runs.
