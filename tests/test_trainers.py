@@ -246,3 +246,23 @@ def test_parsing_gen_trainer_step(rng):
     assert np.isfinite(float(metrics["loss_total"]))
     ev = trainer.eval_step(state.params, state.batch_stats, batch)
     assert ev["pred"].shape == (2, 16, 8)
+
+
+def test_top_vqgan_bf16_step(rng):
+    """Mixed-precision conv stacks: step runs and stays finite."""
+    cfg = dataclasses.replace(TINY_IMG, compute_dtype="bfloat16", remat=True)
+    trainer = TopVQGANTrainer(
+        cfg, TINY_QUANT, GANTrainConfig(disc_start_step=0), disc=TINY_DISC
+    )
+    batch = _img_batch(rng)
+    gen_params = trainer.init_gen_params(
+        jax.random.key(0), batch["image"], batch["texture_mask"]
+    )
+    # params stay fp32 under mixed precision
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(gen_params)
+    )
+    state = trainer.init_state(jax.random.key(1), gen_params, batch["image"])
+    state, metrics = trainer.train_step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))

@@ -39,6 +39,11 @@ def vqgan_cfg(opt: Dict[str, Any], prefix: str = "", remat: bool = False) -> VQG
 
     return VQGANConfig(
         remat=remat,
+        compute_dtype=(
+            opt.get(f"{prefix}compute_dtype")
+            or opt.get("compute_dtype")
+            or "float32"
+        ),
         ch=g("ch", 128),
         ch_mult=tuple(g("ch_mult", (1, 1, 2, 2, 4))),
         num_res_blocks=g("num_res_blocks", 2),
