@@ -30,6 +30,14 @@ from text2human_tpu.trainers.segm_tokenizer import (
 from text2human_tpu.trainers.top_vqgan import TopVQGANTrainer
 
 
+def _get(opt: Dict[str, Any], key: str, default):
+    """Default only on missing/None — 0 and 0.0 are meaningful YAML values
+    (e.g. disc_start_step: 0, dropout: 0.0); ``or``-defaults would swallow
+    them."""
+    v = opt.get(key)
+    return default if v is None else v
+
+
 def vqgan_cfg(opt: Dict[str, Any], prefix: str = "", remat: bool = False) -> VQGANConfig:
     """Map reference YAML keys (configs/vqvae_top.yml:19-31 style) to VQGANConfig."""
 
@@ -41,8 +49,7 @@ def vqgan_cfg(opt: Dict[str, Any], prefix: str = "", remat: bool = False) -> VQG
         remat=remat,
         compute_dtype=(
             opt.get(f"{prefix}compute_dtype")
-            or opt.get("compute_dtype")
-            or "float32"
+            or _get(opt, "compute_dtype", "float32")
         ),
         ch=g("ch", 128),
         ch_mult=tuple(g("ch_mult", (1, 1, 2, 2, 4))),
@@ -52,7 +59,7 @@ def vqgan_cfg(opt: Dict[str, Any], prefix: str = "", remat: bool = False) -> VQG
         out_ch=g("out_ch", 3),
         resolution=g("resolution", 512),
         z_channels=g("z_channels", 256),
-        embed_dim=opt.get(f"{prefix}embed_dim") or opt.get("embed_dim") or 256,
+        embed_dim=opt.get(f"{prefix}embed_dim") or _get(opt, "embed_dim", 256),
         double_z=bool(g("double_z", False)),
         dropout=g("dropout", 0.0),
     )
@@ -60,27 +67,27 @@ def vqgan_cfg(opt: Dict[str, Any], prefix: str = "", remat: bool = False) -> VQG
 
 def transformer_cfg(opt: Dict[str, Any]) -> TransformerConfig:
     return TransformerConfig(
-        codebook_size=opt.get("codebook_size") or 18432,
-        segm_codebook_size=opt.get("segm_codebook_size") or 1024,
-        texture_codebook_size=opt.get("texture_codebook_size") or 18,
-        n_emb=opt.get("bert_n_emb") or 512,
-        n_layers=opt.get("bert_n_layers") or 24,
-        n_head=opt.get("bert_n_head") or 8,
-        block_size=opt.get("block_size") or 512,
-        latent_shape=tuple(opt.get("latent_shape") or (32, 16)),
-        embd_pdrop=opt.get("embd_pdrop") or 0.0,
-        resid_pdrop=opt.get("resid_pdrop") or 0.0,
-        attn_pdrop=opt.get("attn_pdrop") or 0.0,
-        num_output_heads=opt.get("num_head") or 18,
+        codebook_size=_get(opt, "codebook_size", 18432),
+        segm_codebook_size=_get(opt, "segm_codebook_size", 1024),
+        texture_codebook_size=_get(opt, "texture_codebook_size", 18),
+        n_emb=_get(opt, "bert_n_emb", 512),
+        n_layers=_get(opt, "bert_n_layers", 24),
+        n_head=_get(opt, "bert_n_head", 8),
+        block_size=_get(opt, "block_size", 512),
+        latent_shape=tuple(_get(opt, "latent_shape", (32, 16))),
+        embd_pdrop=_get(opt, "embd_pdrop", 0.0),
+        resid_pdrop=_get(opt, "resid_pdrop", 0.0),
+        attn_pdrop=_get(opt, "attn_pdrop", 0.0),
+        num_output_heads=_get(opt, "num_head", 18),
     )
 
 
 def gan_cfg(opt: Dict[str, Any]) -> GANTrainConfig:
     return GANTrainConfig(
-        lr=opt.get("lr") or 1e-4,
-        perceptual_weight=opt.get("perceptual_weight") or 1.0,
-        disc_start_step=opt.get("disc_start_step") or 30001,
-        disc_weight_max=opt.get("disc_weight_max") or 1.0,
+        lr=_get(opt, "lr", 1e-4),
+        perceptual_weight=_get(opt, "perceptual_weight", 1.0),
+        disc_start_step=_get(opt, "disc_start_step", 30001),
+        disc_weight_max=_get(opt, "disc_weight_max", 1.0),
         diff_aug=bool(opt.get("diff_aug", True)),
     )
 
@@ -107,12 +114,12 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
         return SegmTokenizerTrainer(
             vqgan_cfg(opt),
             QuantizerConfig(
-                n_embed=opt.get("n_embed") or 1024,
-                embed_dim=opt.get("embed_dim") or 32,
+                n_embed=_get(opt, "n_embed", 1024),
+                embed_dim=_get(opt, "embed_dim", 32),
             ),
             SegmTokenizerConfig(
-                lr=opt.get("lr") or 4.5e-5,
-                num_segm_classes=opt.get("num_segm_classes") or 24,
+                lr=_get(opt, "lr", 4.5e-5),
+                num_segm_classes=_get(opt, "num_segm_classes", 24),
             ),
         )
 
@@ -121,8 +128,8 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
         return TopVQGANTrainer(
             vqgan_cfg(opt, remat=True),
             QuantizerConfig(
-                n_embed=opt.get("n_embed") or 1024,
-                embed_dim=opt.get("embed_dim") or 256,
+                n_embed=_get(opt, "n_embed", 1024),
+                embed_dim=_get(opt, "embed_dim", 256),
                 num_codebooks=num_books,
             ),
             gan_cfg(opt),
@@ -133,14 +140,14 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
         return HierarchyVQGANTrainer(
             vqgan_cfg(opt, "top_", remat=True),
             QuantizerConfig(
-                n_embed=1024, embed_dim=opt.get("embed_dim") or 256, num_codebooks=18
+                n_embed=1024, embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
             ),
             vqgan_cfg(opt, "bot_", remat=True),
             QuantizerConfig(
-                n_embed=opt.get("bot_n_embed") or 512,
-                embed_dim=opt.get("embed_dim") or 256,
+                n_embed=_get(opt, "bot_n_embed", 512),
+                embed_dim=_get(opt, "embed_dim", 256),
                 num_codebooks=18,
-                spatial_size=opt.get("codebook_spatial_size") or 2,
+                spatial_size=_get(opt, "codebook_spatial_size", 2),
             ),
             gan_cfg(opt),
             fix_decoder=bool(opt.get("fix_decoder")),
@@ -154,79 +161,79 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
             transformer_cfg(opt),
             vqgan_cfg(opt, "img_"),
             QuantizerConfig(
-                n_embed=opt.get("img_n_embed") or 1024,
-                embed_dim=opt.get("img_embed_dim") or 256,
+                n_embed=_get(opt, "img_n_embed", 1024),
+                embed_dim=_get(opt, "img_embed_dim", 256),
                 num_codebooks=18,
             ),
             vqgan_cfg(opt, "segm_"),
             QuantizerConfig(
-                n_embed=opt.get("segm_n_embed") or 1024,
-                embed_dim=opt.get("segm_embed_dim") or 32,
+                n_embed=_get(opt, "segm_n_embed", 1024),
+                embed_dim=_get(opt, "segm_embed_dim", 32),
             ),
             SamplerTrainConfig(
-                lr=opt.get("lr") or 1e-4,
-                weight_decay=opt.get("weight_decay") or 0.0,
-                loss_type=opt.get("loss_type") or "reweighted_elbo",
-                mask_schedule=opt.get("mask_schedule") or "random",
-                sample_steps=opt.get("sample_steps") or 256,
+                lr=_get(opt, "lr", 1e-4),
+                weight_decay=_get(opt, "weight_decay", 0.0),
+                loss_type=_get(opt, "loss_type", "reweighted_elbo"),
+                mask_schedule=_get(opt, "mask_schedule", "random"),
+                sample_steps=_get(opt, "sample_steps", 256),
             ),
         )
 
     if model_type == "VQGANTextureAwareSpatialHierarchyInferenceModel":
         return IndexPredTrainer(
-            UNetConfig(in_channels=opt.get("encoder_in_channels") or 256),
+            UNetConfig(in_channels=_get(opt, "encoder_in_channels", 256)),
             FCNHeadConfig(
-                in_channels=opt.get("fc_in_channels") or 64,
-                channels=opt.get("fc_channels") or 64,
-                num_classes=opt.get("fc_num_classes") or 512,
-                num_convs=opt.get("fc_num_convs") or 1,
+                in_channels=_get(opt, "fc_in_channels", 64),
+                channels=_get(opt, "fc_channels", 64),
+                num_classes=_get(opt, "fc_num_classes", 512),
+                num_convs=_get(opt, "fc_num_convs", 1),
                 concat_input=bool(opt.get("fc_concat_input")),
-                dropout_ratio=opt.get("fc_dropout_ratio") or 0.1,
-                in_index=opt.get("fc_in_index") or 4,
+                dropout_ratio=_get(opt, "fc_dropout_ratio", 0.1),
+                in_index=_get(opt, "fc_in_index", 4),
                 num_heads=18,
             ),
             vqgan_cfg(opt, "top_"),
             QuantizerConfig(
-                n_embed=1024, embed_dim=opt.get("embed_dim") or 256, num_codebooks=18
+                n_embed=1024, embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
             ),
             vqgan_cfg(opt, "bot_"),
             QuantizerConfig(
-                n_embed=opt.get("bot_n_embed") or 512,
-                embed_dim=opt.get("embed_dim") or 256,
+                n_embed=_get(opt, "bot_n_embed", 512),
+                embed_dim=_get(opt, "embed_dim", 256),
                 num_codebooks=18,
-                spatial_size=opt.get("codebook_spatial_size") or 2,
+                spatial_size=_get(opt, "codebook_spatial_size", 2),
             ),
             IndexPredTrainConfig(
-                lr=opt.get("lr") or 1e-4,
-                weight_decay=opt.get("weight_decay") or 0.0,
-                optimizer=opt.get("optimizer") or "Adam",
-                momentum=opt.get("momentum") or 0.9,
+                lr=_get(opt, "lr", 1e-4),
+                weight_decay=_get(opt, "weight_decay", 0.0),
+                optimizer=_get(opt, "optimizer", "Adam"),
+                momentum=_get(opt, "momentum", 0.9),
             ),
         )
 
     if model_type == "ParsingGenModel":
         return ParsingGenTrainer(
             ShapeAttrConfig(
-                dim=opt.get("embedder_dim") or 8,
-                out_dim=opt.get("embedder_out_dim") or 128,
-                cls_num_list=tuple(opt.get("attr_class_num") or C.PARSING_GEN_ATTR.cls_num_list),
+                dim=_get(opt, "embedder_dim", 8),
+                out_dim=_get(opt, "embedder_out_dim", 128),
+                cls_num_list=tuple(_get(opt, "attr_class_num", C.PARSING_GEN_ATTR.cls_num_list)),
             ),
             UNetConfig(
-                in_channels=opt.get("encoder_in_channels") or 1,
-                attr_embedding=opt.get("embedder_out_dim") or 128,
+                in_channels=_get(opt, "encoder_in_channels", 1),
+                attr_embedding=_get(opt, "embedder_out_dim", 128),
             ),
             FCNHeadConfig(
-                in_channels=opt.get("fc_in_channels") or 64,
-                channels=opt.get("fc_channels") or 64,
-                num_classes=opt.get("fc_num_classes") or 24,
-                num_convs=opt.get("fc_num_convs") or 1,
+                in_channels=_get(opt, "fc_in_channels", 64),
+                channels=_get(opt, "fc_channels", 64),
+                num_classes=_get(opt, "fc_num_classes", 24),
+                num_convs=_get(opt, "fc_num_convs", 1),
                 concat_input=bool(opt.get("fc_concat_input")),
-                dropout_ratio=opt.get("fc_dropout_ratio") or 0.1,
-                in_index=opt.get("fc_in_index") or 4,
+                dropout_ratio=_get(opt, "fc_dropout_ratio", 0.1),
+                in_index=_get(opt, "fc_in_index", 4),
             ),
             ParsingGenTrainConfig(
-                lr=opt.get("lr") or 1e-4,
-                weight_decay=opt.get("weight_decay") or 0.0,
+                lr=_get(opt, "lr", 1e-4),
+                weight_decay=_get(opt, "weight_decay", 0.0),
             ),
         )
 
@@ -237,57 +244,62 @@ def build_pipeline(opt: Dict[str, Any]):
     """Sample* model_type -> SamplePipeline (≙ sample_model.py composites)."""
     from text2human_tpu.pipelines.sample import PipelineConfigs, SamplePipeline
 
+    if opt["model_type"] not in ("SampleFromParsingModel", "SampleFromPoseModel"):
+        raise ValueError(
+            f"Unknown sample model_type {opt['model_type']!r}; expected "
+            "SampleFromParsingModel or SampleFromPoseModel"
+        )
     with_pose = opt["model_type"] == "SampleFromPoseModel"
     cfgs = PipelineConfigs(
         top=vqgan_cfg(opt, "top_"),
         top_quant=QuantizerConfig(
-            n_embed=1024, embed_dim=opt.get("embed_dim") or 256, num_codebooks=18
+            n_embed=1024, embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
         ),
         bot=vqgan_cfg(opt, "bot_"),
         bot_quant=QuantizerConfig(
-            n_embed=opt.get("bot_n_embed") or 512,
-            embed_dim=opt.get("embed_dim") or 256,
+            n_embed=_get(opt, "bot_n_embed", 512),
+            embed_dim=_get(opt, "embed_dim", 256),
             num_codebooks=18,
-            spatial_size=opt.get("bot_codebook_spatial_size") or 2,
+            spatial_size=_get(opt, "bot_codebook_spatial_size", 2),
         ),
         segm=vqgan_cfg(opt, "segm_"),
         segm_quant=QuantizerConfig(
-            n_embed=opt.get("segm_n_embed") or 1024,
-            embed_dim=opt.get("segm_embed_dim") or 32,
+            n_embed=_get(opt, "segm_n_embed", 1024),
+            embed_dim=_get(opt, "segm_embed_dim", 32),
         ),
         transformer=transformer_cfg(opt),
         index_unet=_unet_cfg_opt(opt, "index_pred_encoder_in_channels", 256, "index_pred_"),
         index_fcn=FCNHeadConfig(
-            in_channels=opt.get("index_pred_fc_in_channels") or 64,
-            channels=opt.get("index_pred_fc_channels") or 64,
-            num_classes=opt.get("index_pred_fc_num_classes") or 512,
-            num_convs=opt.get("index_pred_fc_num_convs") or 1,
+            in_channels=_get(opt, "index_pred_fc_in_channels", 64),
+            channels=_get(opt, "index_pred_fc_channels", 64),
+            num_classes=_get(opt, "index_pred_fc_num_classes", 512),
+            num_convs=_get(opt, "index_pred_fc_num_convs", 1),
             concat_input=bool(opt.get("index_pred_fc_concat_input")),
-            dropout_ratio=opt.get("index_pred_fc_dropout_ratio") or 0.1,
-            in_index=opt.get("index_pred_fc_in_index") or 4,
+            dropout_ratio=_get(opt, "index_pred_fc_dropout_ratio", 0.1),
+            in_index=_get(opt, "index_pred_fc_in_index", 4),
             num_heads=18,
         ),
         shape_attr=ShapeAttrConfig(
-            dim=opt.get("shape_embedder_dim") or 8,
-            out_dim=opt.get("shape_embedder_out_dim") or 128,
+            dim=_get(opt, "shape_embedder_dim", 8),
+            out_dim=_get(opt, "shape_embedder_out_dim", 128),
             cls_num_list=tuple(
-                opt.get("shape_attr_class_num") or C.PARSING_GEN_ATTR.cls_num_list
+                _get(opt, "shape_attr_class_num", C.PARSING_GEN_ATTR.cls_num_list)
             ),
         ) if with_pose else None,
         parsing_unet=_unet_cfg_opt(
             opt, "shape_encoder_in_channels", 1, "shape_",
-            attr_embedding=opt.get("shape_embedder_out_dim") or 128,
+            attr_embedding=_get(opt, "shape_embedder_out_dim", 128),
         ) if with_pose else None,
         parsing_fcn=FCNHeadConfig(
-            in_channels=opt.get("shape_fc_in_channels") or 64,
-            channels=opt.get("shape_fc_channels") or 64,
-            num_classes=opt.get("shape_fc_num_classes") or 24,
-            num_convs=opt.get("shape_fc_num_convs") or 1,
+            in_channels=_get(opt, "shape_fc_in_channels", 64),
+            channels=_get(opt, "shape_fc_channels", 64),
+            num_classes=_get(opt, "shape_fc_num_classes", 24),
+            num_convs=_get(opt, "shape_fc_num_convs", 1),
             concat_input=bool(opt.get("shape_fc_concat_input")),
-            dropout_ratio=opt.get("shape_fc_dropout_ratio") or 0.1,
-            in_index=opt.get("shape_fc_in_index") or 4,
+            dropout_ratio=_get(opt, "shape_fc_dropout_ratio", 0.1),
+            in_index=_get(opt, "shape_fc_in_index", 4),
         ) if with_pose else None,
-        sample_steps=opt.get("sample_steps") or 256,
-        num_segm_classes=opt.get("segm_num_segm_classes") or 24,
+        sample_steps=_get(opt, "sample_steps", 256),
+        num_segm_classes=_get(opt, "segm_num_segm_classes", 24),
     )
     return SamplePipeline(cfgs)
