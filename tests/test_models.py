@@ -163,3 +163,18 @@ def test_shape_attr_embedding():
     variables = emb.init(jax.random.key(0), attr)
     y = emb.apply(variables, attr)
     assert y.shape == (2, 8)
+
+
+def test_transformer_select_heads_matches_full():
+    """Fused head selection == full heads + gather."""
+    tf = TransformerMultiHead(TINY_TF)
+    b, t = 2, 12
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, TINY_TF.vocab_size, (b, t)), jnp.int32)
+    segm = jnp.asarray(rng.integers(0, 16, (b, t)), jnp.int32)
+    tex = jnp.asarray(rng.integers(0, 3, (b, t)), jnp.int32)
+    params = tf.init(jax.random.key(0), idx, segm, tex)
+    full = tf.apply(params, idx, segm, tex)
+    sel = select_head_logits(full, tex)
+    fused = tf.apply(params, idx, segm, tex, select_heads=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(sel), atol=1e-5)

@@ -81,8 +81,10 @@ def train_loss(
         raise NotImplementedError(diffusion.mask_schedule)
     x_t, mask = q_sample(mask_key, x0_cont, t, diffusion.num_timesteps, diffusion.mask_id)
 
-    logits = denoise_fn(x_t)  # [B, T, K, C]
-    sel = select_head_logits(logits, texture_tokens)  # [B, T, C]
+    logits = denoise_fn(x_t)  # [B, T, K, C] or pre-selected [B, T, C]
+    sel = (
+        logits if logits.ndim == 3 else select_head_logits(logits, texture_tokens)
+    )
 
     logp = jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
     ce = -jnp.take_along_axis(logp, gt_local[..., None].astype(jnp.int32), axis=-1)[
@@ -137,8 +139,10 @@ def sample_loop(
         changes = (u < 1.0 / t.astype(jnp.float32)) & (~unmasked)
         unmasked = unmasked | changes
 
-        logits = denoise_fn(x_t)  # [B, T, K, C]
-        sel = select_head_logits(logits, texture) / temp
+        logits = denoise_fn(x_t)  # [B, T, K, C] or pre-selected [B, T, C]
+        sel = (
+            logits if logits.ndim == 3 else select_head_logits(logits, texture)
+        ) / temp
         sampled = jax.random.categorical(cat_key, sel.astype(jnp.float32), axis=-1)
         sampled = sampled.astype(jnp.int32)
 

@@ -109,11 +109,18 @@ class TransformerMultiHead(nn.Module):
         texture_tokens: jax.Array,
         *,
         deterministic: bool = True,
+        select_heads: bool = False,
     ) -> jax.Array:
         """idx/segm_tokens/texture_tokens: [B, T] int32.
 
         Returns logits [B, T, K, head_class_num] — the stacked equivalent of
         the reference's list of 18 [B, T, 1024] tensors.
+
+        With ``select_heads=True`` only each position's texture-selected head
+        is emitted ([B, T, head_class_num]): the per-head matmuls are masked
+        and accumulated so the full [B, T, K, C] tensor (600 MB at batch 16)
+        never hits HBM — exactly one head per position is ever consumed
+        (reference sample_model.py:300-317 discards the rest too).
         """
         cfg = self.cfg
         init02 = nn.initializers.normal(stddev=0.02)
@@ -162,9 +169,32 @@ class TransformerMultiHead(nn.Module):
             init02,
             (cfg.num_output_heads, cfg.n_emb, cfg.head_class_num),
         )
+        x = x.astype(self.dtype)
+        if select_heads:
+            b, t = idx.shape
+            tex = jnp.clip(
+                texture_tokens.astype(jnp.int32), 0, cfg.num_output_heads - 1
+            )
+
+            def add_head(k, acc):
+                head_k = jax.lax.dynamic_index_in_dim(
+                    heads, k, axis=0, keepdims=False
+                ).astype(self.dtype)
+                logits_k = jnp.einsum(
+                    "btd,dc->btc", x, head_k, preferred_element_type=jnp.float32
+                )
+                return acc + jnp.where((tex == k)[..., None], logits_k, 0.0)
+
+            return jax.lax.fori_loop(
+                0,
+                cfg.num_output_heads,
+                add_head,
+                jnp.zeros((b, t, cfg.head_class_num), jnp.float32),
+            )
+
         logits = jnp.einsum(
             "btd,kdc->btkc",
-            x.astype(self.dtype),
+            x,
             heads.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )

@@ -148,8 +148,14 @@ class SamplePipeline:
         self, params, key, segm_tokens, texture_tokens, sample_steps: int
     ):
         def denoise(x_t):
+            # select_heads: emit only each position's active head — avoids the
+            # [B,T,18,1024] logits tensor entirely (HBM-bound at batch >= 16)
             return self.denoiser.apply(
-                {"params": params["sampler"]}, x_t, segm_tokens, texture_tokens
+                {"params": params["sampler"]},
+                x_t,
+                segm_tokens,
+                texture_tokens,
+                select_heads=True,
             )
 
         local, _ = sample_loop(

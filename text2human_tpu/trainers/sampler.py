@@ -123,6 +123,7 @@ class SamplerTrainer:
                     tokens["segm_tokens"],
                     tokens["texture_tokens"],
                     deterministic=False,
+                    select_heads=True,
                     rngs={"dropout": drop_key},
                 )
 
@@ -158,7 +159,8 @@ class SamplerTrainer:
 
         def denoise(x_t):
             return self.denoiser.apply(
-                {"params": params}, x_t, segm_tokens, texture_tokens
+                {"params": params}, x_t, segm_tokens, texture_tokens,
+                select_heads=True,
             )
 
         return sample_loop(key, self.diffusion, denoise, texture_tokens, steps, temp)
