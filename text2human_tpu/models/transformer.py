@@ -31,6 +31,7 @@ class SelfAttention(nn.Module):
     resid_pdrop: float = 0.0
     causal: bool = False
     deterministic: bool = True
+    flash: bool = False  # fused Pallas flash-attention kernel (TPU only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -42,17 +43,32 @@ class SelfAttention(nn.Module):
         k = dense(c, name="key")(x).reshape(b, t, self.n_head, hs)
         v = dense(c, name="value")(x).reshape(b, t, self.n_head, hs)
 
-        att = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * (1.0 / float(hs) ** 0.5)
-        if self.causal:
-            mask = jnp.tril(jnp.ones((t, t), dtype=bool))
-            att = jnp.where(mask[None, None], att, -jnp.inf)
-        att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
-        att = nn.Dropout(self.attn_pdrop, deterministic=self.deterministic)(att)
-        y = jnp.einsum(
-            "bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        if self.flash and self.attn_pdrop == 0.0:
+            # streams K/V tiles through VMEM — never materializes the
+            # [B, H, T, T] score matrix in HBM (the batch>=16 bottleneck)
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            y = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                causal=self.causal,
+                sm_scale=1.0 / float(hs) ** 0.5,
+            ).transpose(0, 2, 1, 3).astype(self.dtype)
+        else:
+            att = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * (1.0 / float(hs) ** 0.5)
+            if self.causal:
+                mask = jnp.tril(jnp.ones((t, t), dtype=bool))
+                att = jnp.where(mask[None, None], att, -jnp.inf)
+            att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
+            att = nn.Dropout(self.attn_pdrop, deterministic=self.deterministic)(att)
+            y = jnp.einsum(
+                "bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
         y = y.reshape(b, t, c)
         y = dense(c, name="proj")(y)
         y = nn.Dropout(self.resid_pdrop, deterministic=self.deterministic)(y)
@@ -70,6 +86,7 @@ class Block(nn.Module):
     resid_pdrop: float = 0.0
     causal: bool = False
     deterministic: bool = True
+    flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -85,6 +102,7 @@ class Block(nn.Module):
             resid_pdrop=self.resid_pdrop,
             causal=self.causal,
             deterministic=self.deterministic,
+            flash=self.flash,
             dtype=self.dtype,
             name="attn",
         )(h)
@@ -110,6 +128,7 @@ class TransformerMultiHead(nn.Module):
         *,
         deterministic: bool = True,
         select_heads: bool = False,
+        flash: bool = False,
     ) -> jax.Array:
         """idx/segm_tokens/texture_tokens: [B, T] int32.
 
@@ -158,6 +177,7 @@ class TransformerMultiHead(nn.Module):
             resid_pdrop=cfg.resid_pdrop,
             causal=cfg.sampler == "autoregressive",
             deterministic=deterministic,
+            flash=flash,
             dtype=self.dtype,
             name="blocks",
         )(x, None)

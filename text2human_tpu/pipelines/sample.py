@@ -149,7 +149,10 @@ class SamplePipeline:
     ):
         def denoise(x_t):
             # select_heads: emit only each position's active head — avoids the
-            # [B,T,18,1024] logits tensor entirely (HBM-bound at batch >= 16)
+            # [B,T,18,1024] logits tensor entirely (HBM-bound at batch >= 16).
+            # NOTE: flash=True measured ~2x slower here — at T=512/head_dim 64
+            # the XLA einsum attention beats the Pallas flash kernel (the
+            # per-head score matrix is only 1 MB), so it stays off.
             return self.denoiser.apply(
                 {"params": params["sampler"]},
                 x_t,
