@@ -1,0 +1,73 @@
+"""Checkpoint conversion CLI: reference .pth zoo <-> native orbax pytrees.
+
+  # import the six reference checkpoints into one pipeline checkpoint
+  python -m text2human_tpu.cli.convert import-pipeline \
+      --top vqvae_top.pth --bottom vqvae_bottom.pth --segm parsing_token.pth \
+      --sampler sampler.pth --index-pred index_pred_net.pth \
+      --parsing-gen parsing_gen.pth --out checkpoints/pipeline
+
+  # export our trained top VQGAN back to the reference layout
+  python -m text2human_tpu.cli.convert export-top \
+      --ckpt experiments/vqvae_top/models/final --out vqvae_top_exported.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    imp = sub.add_parser("import-pipeline",
+                         help="six reference .pth files -> one orbax pipeline checkpoint")
+    imp.add_argument("--top", required=True)
+    imp.add_argument("--bottom", required=True)
+    imp.add_argument("--segm", required=True)
+    imp.add_argument("--sampler", required=True)
+    imp.add_argument("--index-pred", required=True)
+    imp.add_argument("--parsing-gen", default="")
+    imp.add_argument("--out", required=True)
+
+    exp = sub.add_parser("export-top",
+                         help="our TextureVQGAN params -> reference vqvae_top.pth layout")
+    exp.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
+    exp.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "import-pipeline":
+        from text2human_tpu.utils.checkpoint import save_checkpoint
+        from text2human_tpu.utils.torch_import import convert_pipeline_checkpoints
+
+        params = convert_pipeline_checkpoints(
+            args.top, args.bottom, args.segm, args.sampler,
+            args.index_pred, args.parsing_gen,
+        )
+        save_checkpoint(args.out, params)
+        print(f"wrote pipeline checkpoint -> {args.out}")
+
+    elif args.cmd == "export-top":
+        import torch
+
+        from text2human_tpu.utils.checkpoint import load_checkpoint
+        from text2human_tpu.utils.torch_export import top_vqgan_export
+
+        tree = load_checkpoint(args.ckpt)
+        params = tree.get("state", tree)
+        if hasattr(params, "params"):
+            params = params.params
+        if "gen" in params:
+            params = params["gen"]
+        exported = top_vqgan_export(params)
+        torch_ckpt = {
+            comp: {k: torch.from_numpy(v.copy()) for k, v in sd.items()}
+            for comp, sd in exported.items()
+        }
+        torch.save(torch_ckpt, args.out)
+        print(f"wrote reference-layout checkpoint -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
