@@ -266,3 +266,28 @@ def test_top_vqgan_bf16_step(rng):
     state = trainer.init_state(jax.random.key(1), gen_params, batch["image"])
     state, metrics = trainer.train_step(state, batch, jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sampler_training_reduces_loss(rng):
+    """Optimizer plumbing sanity: 40 steps on a fixed tiny batch overfit it."""
+    from text2human_tpu.trainers.sampler import SamplerTrainConfig
+
+    tf_cfg = dataclasses.replace(TINY_TF, block_size=32, latent_shape=(8, 4))
+    trainer = SamplerTrainer(tf_cfg, train_cfg=SamplerTrainConfig(lr=3e-3))
+    b, t, c = 4, 32, tf_cfg.head_class_num
+    tex = rng.integers(0, 3, (b, t))
+    local = rng.integers(0, c, (b, t))
+    tokens = {
+        "x0_cont": jnp.asarray(local + c * tex, jnp.int32),
+        "gt_local": jnp.asarray(local, jnp.int32),
+        "segm_tokens": jnp.asarray(rng.integers(0, 16, (b, t)), jnp.int32),
+        "texture_tokens": jnp.asarray(tex, jnp.int32),
+    }
+    state = trainer.init_state(jax.random.key(0))
+    losses = []
+    for i in range(40):
+        state, m = trainer.train_step(state, tokens, jax.random.key(i))
+        losses.append(float(m["loss"]))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < first * 0.75, (first, last)
