@@ -36,15 +36,6 @@ from text2human_tpu.utils.checkpoint import save_checkpoint
 from text2human_tpu.utils.logger import MessageLogger, get_root_logger
 from text2human_tpu.utils.misc import make_exp_dirs, set_random_seed
 
-IMAGE_MODELS = (
-    "VQImageModel",
-    "VQImageSegmTextureModel",
-    "HierarchyVQSpatialTextureAwareModel",
-    "TransformerTextureAwareModel",
-    "VQGANTextureAwareSpatialHierarchyInferenceModel",
-)
-
-
 def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
     if synthetic:
         # synthetic images must match the configured network resolution
@@ -149,8 +140,7 @@ class TrainLoop:
             )
             self.state = t.init_state(self._next_key())
         elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
-            self.frozen["vq"] = self._frozen_params(
-                "top_vae_path",
+            self.frozen["vq"] = self._frozen_hierarchy_params(
                 lambda: t.hierarchy.init(
                     self._next_key(), b["image"], b["texture_mask"]
                 )["params"],
@@ -161,6 +151,21 @@ class TrainLoop:
             self.state = t.init_state(self._next_key(), b["densepose"], b["attr"])
         else:
             raise ValueError(self.mt)
+
+    def _frozen_hierarchy_params(self, random_init):
+        """HierarchyVQ params from BOTH the top and bottom checkpoints
+        (reference hierarchy_inference_model.py:131-168)."""
+        top = self.opt.get("top_vae_path")
+        bot = self.opt.get("bot_vae_path")
+        if (
+            not self.synthetic
+            and top and osp.exists(top)
+            and bot and osp.exists(bot)
+        ):
+            from text2human_tpu.utils.torch_import import convert_hierarchy_params
+
+            return convert_hierarchy_params(top, bot)
+        return random_init()
 
     def _frozen_params(self, path_key: str, random_init):
         path = self.opt.get(path_key)
@@ -268,7 +273,7 @@ class TrainLoop:
                 logs = t.eval_loss(self.state.params["gen"], b)
             elif mt == "TransformerTextureAwareModel":
                 tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
-                _, logs = t.train_step(self.state, tokens, jax.random.key(0))
+                logs = t.eval_step(self.state.params, tokens, jax.random.key(0))
             elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
                 data = t.prepare(self.frozen["vq"], b)
                 logs = t.eval_step(self.state.params, self.state.batch_stats, data)
@@ -282,7 +287,19 @@ class TrainLoop:
         return {k: v / max(n, 1) for k, v in sums.items()}
 
     def set_lr(self, epoch: int, iters: int):
-        lr = lr_for_epoch(self.opt, epoch, iters)
+        # 'schedule'/'linear2exp' are cumulative in the reference (lr *= gamma
+        # once per epoch) — thread the previous value and only advance them on
+        # epoch boundaries
+        mode = self.opt.get("lr_decay", "step")
+        if mode in ("schedule", "linear2exp"):
+            if getattr(self, "_lr_epoch", None) != epoch:
+                self._lr = lr_for_epoch(
+                    self.opt, epoch, iters, prev_lr=getattr(self, "_lr", None)
+                )
+                self._lr_epoch = epoch
+            lr = self._lr
+        else:
+            lr = lr_for_epoch(self.opt, epoch, iters)
         for opt_state in (
             self.state.opt_state.values()
             if isinstance(self.state.opt_state, dict)
@@ -358,27 +375,33 @@ def main(argv=None):
     current_iter = 0
     best = None
     start_epoch = 0
-    resume_path = None
+
+    # initialize (and optionally resume) before the epoch loop so the restored
+    # epoch drives the lr schedule and cadence
+    first_batch = next(iter(loader), None)
+    if first_batch is None:
+        logger.warning("empty training dataset; nothing to do")
+        return
+    loop.init(first_batch)
+    loop._distribute_state()
     if args.resume:
         from text2human_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 
         resume_path = latest_checkpoint(opt["path"]["models"])
+        if resume_path:
+            restored = load_checkpoint(
+                resume_path, target={"state": loop.state, "epoch": 0}
+            )
+            loop.state = restored["state"]
+            start_epoch = int(restored["epoch"]) + 1
+            current_iter = int(jax.device_get(loop.state.step))
+            logger.info(
+                f"resumed from {resume_path}: epoch {start_epoch}, "
+                f"step {current_iter}"
+            )
 
     for epoch in range(start_epoch, num_epochs):
         for batch in loader:
-            if current_iter == 0:
-                loop.init(batch)
-                loop._distribute_state()
-                if resume_path:
-                    from text2human_tpu.utils.checkpoint import load_checkpoint
-
-                    restored = load_checkpoint(
-                        resume_path, target={"state": loop.state, "epoch": 0}
-                    )
-                    loop.state = restored["state"]
-                    logger.info(
-                        f"resumed from {resume_path} at step {int(loop.state.step)}"
-                    )
             lr = loop.set_lr(epoch, current_iter)
             t0 = time.time()
             logs = loop.step(batch)

@@ -30,12 +30,12 @@ try:
 except ImportError:  # pragma: no cover - PIL is present in the target image
     Image = None
 
-# texture regions: parsing classes carrying each fused attribute
-# (reference data/segm_attr_dataset.py:60-69)
-UPPER_CLASSES = (1.0, 4.0)
-LOWER_CLASSES = (3.0, 5.0, 21.0)
-OUTER_CLASSES = (2.0,)
-ABSENT_ATTR = 17
+from text2human_tpu.constants import (
+    ABSENT_ATTR,
+    LOWER_CLASSES,
+    OUTER_CLASSES,
+    UPPER_CLASSES,
+)
 
 
 def _read_attr_file(path: str) -> Tuple[List[str], List[List[int]]]:
@@ -168,9 +168,17 @@ class DeepFashionAttrPoseDataset(_FlatFileDataset):
             osp.join(texture_ann_dir, "upper_fused.txt")
         )
         self.fnames = [f"{n.split('.')[0]}.png" for n in self.target_names]
-        _, lower = _read_attr_file(osp.join(texture_ann_dir, "lower_fused.txt"))
-        _, outer = _read_attr_file(osp.join(texture_ann_dir, "outer_fused.txt"))
-        _, shape = _read_attr_file(shape_ann_path)
+        names_l, lower = _read_attr_file(osp.join(texture_ann_dir, "lower_fused.txt"))
+        names_o, outer = _read_attr_file(osp.join(texture_ann_dir, "outer_fused.txt"))
+        names_s, shape = _read_attr_file(shape_ann_path)
+        # every annotation file must list the same images in the same order
+        # (reference pose_attr_dataset.py:45,54,62)
+        assert names_l == self.target_names and names_o == self.target_names, (
+            "texture annotation files disagree on image order"
+        )
+        assert names_s == self.target_names, (
+            "shape annotation file disagrees with texture annotations"
+        )
         self.upper = [a[0] for a in upper]
         self.lower = [a[0] for a in lower]
         self.outer = [a[0] for a in outer]

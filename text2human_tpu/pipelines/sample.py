@@ -41,11 +41,12 @@ from text2human_tpu.models.composites import (
 from text2human_tpu.models.transformer import TransformerMultiHead
 from text2human_tpu.ops.nn import nearest_downsample_mask
 
-# Parsing classes carrying each texture region (reference sample_model.py:443-447)
-UPPER_CLASSES = (1, 4)
-LOWER_CLASSES = (3, 5, 21)
-OUTER_CLASSES = (2,)
-ABSENT_ATTR = 17
+from text2human_tpu.constants import (
+    ABSENT_ATTR,
+    LOWER_CLASSES,
+    OUTER_CLASSES,
+    UPPER_CLASSES,
+)
 
 
 def texture_mask_from_segm(

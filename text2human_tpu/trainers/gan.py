@@ -184,9 +184,16 @@ class GANTrainer:
         real_in = diff_augment(real_key, x, cfg.policy) if cfg.diff_aug else x
 
         def disc_loss_fn(p):
+            # thread BN running stats through both passes (torch updates them
+            # on every train-mode forward: real then fake)
             logits_real, stats1 = disc_fwd(p, real_in)
-            logits_fake, _ = disc_fwd(p, fake_in)
-            return hinge_d_loss(logits_real, logits_fake), stats1
+            logits_fake, stats2 = self.disc.apply(
+                {"params": p, "batch_stats": stats1},
+                fake_in,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return hinge_d_loss(logits_real, logits_fake), stats2["batch_stats"]
 
         (d_loss, new_disc_stats), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True

@@ -35,15 +35,21 @@ _BOT_PREFIXES = (
 
 def hierarchy_trainable_mask(params: Any, fix_decoder: bool) -> Any:
     """True for params the reference optimizer updates
-    (hierarchy_vqgan_model.py:127-156): all bot_* components, plus
-    decoder up-blocks (names 'up_{level}_*') when not fix_decoder."""
+    (hierarchy_vqgan_model.py:127-156): all bot_* components, plus decoder
+    up-blocks EXCEPT the deepest level — the reference enumerates only
+    'up.0'..'up.3', deliberately freezing up.4 (before the fusion point)."""
+    deepest = -1
+    for name in params.get("decoder", {}):
+        if name.startswith("up_"):
+            deepest = max(deepest, int(name.split("_")[1]))
 
     def mark(path, leaf):
         top = path[0].key
         if top in _BOT_PREFIXES:
             return True
         if top == "decoder" and not fix_decoder:
-            return path[1].key.startswith("up_")
+            name = path[1].key
+            return name.startswith("up_") and int(name.split("_")[1]) != deepest
         return False
 
     return jax.tree_util.tree_map_with_path(mark, params)

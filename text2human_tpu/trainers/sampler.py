@@ -70,6 +70,7 @@ class SamplerTrainer:
         self.tx = make_optimizer(lr=train_cfg.lr, weight_decay=train_cfg.weight_decay)
         self._tokenize = jax.jit(self._tokenize_impl)
         self._step = jax.jit(self._train_step, donate_argnums=(0,))
+        self._eval = jax.jit(self._eval_step)
 
     # -- frozen tokenization (reference feed_data, transformer_model.py:276-288)
 
@@ -143,6 +144,32 @@ class SamplerTrainer:
 
     def train_step(self, state, tokens, key):
         return self._step(state, tokens, key)
+
+    def _eval_step(self, params, tokens: Dict[str, jax.Array], key):
+        """Loss without dropout/updates (train_step donates its state, so it
+        must never be used for validation)."""
+
+        def denoise(x_t):
+            return self.denoiser.apply(
+                {"params": params},
+                x_t,
+                tokens["segm_tokens"],
+                tokens["texture_tokens"],
+                select_heads=True,
+            )
+
+        loss, vb, _ = train_loss(
+            key,
+            self.diffusion,
+            denoise,
+            tokens["x0_cont"],
+            tokens["gt_local"],
+            tokens["texture_tokens"],
+        )
+        return {"loss": loss, "vb_loss": vb}
+
+    def eval_step(self, params, tokens, key):
+        return self._eval(params, tokens, key)
 
     # -- sampling (reference sample_fn, transformer_model.py:317-384)
 

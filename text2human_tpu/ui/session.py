@@ -111,7 +111,7 @@ class InteractiveSession:
 
     def generate_human(self, texture_text: str, sample_steps: int = 0) -> np.ndarray:
         assert self.segm is not None, "generate_parsing first"
-        attrs = generate_texture_attributes(texture_text)
+        attrs = generate_texture_attributes(texture_text)[:3]
         self.texture_attrs = attrs
         upper, lower, outer = (jnp.asarray([a], jnp.int32) for a in attrs)
         segm = jnp.asarray(self.segm)[None]

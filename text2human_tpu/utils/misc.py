@@ -4,21 +4,30 @@ from __future__ import annotations
 
 import os
 import random
+import time
 from typing import Any, Dict
 
 import numpy as np
 
 
+def _mkdir_or_archive(path: str, overwrite: bool):
+    """Create ``path``; an existing non-debug dir is renamed away with a
+    timestamp suffix instead of aborting the run."""
+    if os.path.isdir(path) and not overwrite:
+        archived = f"{path}_archived_{time.strftime('%Y%m%d_%H%M%S')}"
+        os.rename(path, archived)
+    os.makedirs(path, exist_ok=True)
+
+
 def make_exp_dirs(opt: Dict[str, Any]):
-    """Create the experiment/results tree (reference utils/util.py:14-22).
-    Non-debug result dirs must not already exist (exist_ok=False)."""
+    """Create the experiment/results tree (reference utils/util.py:14-22)."""
     path_opt = dict(opt["path"])
+    overwrite = "debug" in opt.get("name", "")
     if opt.get("is_train"):
-        overwrite = "debug" in opt.get("name", "")
-        os.makedirs(path_opt.pop("experiments_root"), exist_ok=overwrite)
-        os.makedirs(path_opt.pop("models"), exist_ok=overwrite)
+        _mkdir_or_archive(path_opt.pop("experiments_root"), overwrite)
+        os.makedirs(path_opt.pop("models"), exist_ok=True)
     else:
-        os.makedirs(path_opt.pop("results_root"))
+        _mkdir_or_archive(path_opt.pop("results_root"), overwrite)
 
 
 def set_random_seed(seed: int):

@@ -180,11 +180,6 @@ def transformer_params(sd: Dict, n_layers: int, num_heads: int) -> Dict[str, Any
         "ln_f": norm_scale_bias(sd, "ln_f"),
     }
 
-    def stack(fn):
-        return {
-            key: np.stack([layer[key] for layer in fn]) for key in fn[0]
-        }
-
     def layer_tree(i: int) -> Dict[str, Any]:
         p = f"blocks.{i}"
         return {
@@ -407,6 +402,26 @@ def convert_parsing_gen(ckpt: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def convert_hierarchy_params(top_path: str, bottom_path: str) -> Dict[str, Any]:
+    """top + bottom .pth -> HierarchyVQ params (the bottom checkpoint's
+    finetuned decoder wins, reference sample_model.py:139-152 /
+    hierarchy_inference_model.py:131-168)."""
+    top = convert_top_vqgan(load_pth(top_path))["params"]
+    bot = convert_bottom_vqgan(load_pth(bottom_path))["params"]
+    return {
+        "top_encoder": top["encoder"],
+        "top_quantize": top["quantize"],
+        "top_quant_conv": top["quant_conv"],
+        "top_post_quant_conv": top["post_quant_conv"],
+        "decoder": bot["decoder"],
+        "bot_encoder": bot["bot_encoder"],
+        "bot_decoder_res": bot["bot_decoder_res"],
+        "bot_quantize": bot["bot_quantize"],
+        "bot_quant_conv": bot["bot_quant_conv"],
+        "bot_post_quant_conv": bot["bot_post_quant_conv"],
+    }
+
+
 def convert_pipeline_checkpoints(
     top_path: str,
     bottom_path: str,
@@ -417,24 +432,8 @@ def convert_pipeline_checkpoints(
 ) -> Dict[str, Any]:
     """Build the SamplePipeline params dict from the reference's six .pth files
     (≙ BaseSampleModel.__init__ loads, sample_model.py:124-181,397-410)."""
-    top = convert_top_vqgan(load_pth(top_path))["params"]
-    bot = convert_bottom_vqgan(load_pth(bottom_path))["params"]
-    hierarchy = {
-        "top_encoder": top["encoder"],
-        "top_quantize": top["quantize"],
-        "top_quant_conv": top["quant_conv"],
-        "top_post_quant_conv": top["post_quant_conv"],
-        # inference uses the bottom checkpoint's (finetuned) decoder,
-        # reference sample_model.py:139-152
-        "decoder": bot["decoder"],
-        "bot_encoder": bot["bot_encoder"],
-        "bot_decoder_res": bot["bot_decoder_res"],
-        "bot_quantize": bot["bot_quantize"],
-        "bot_quant_conv": bot["bot_quant_conv"],
-        "bot_post_quant_conv": bot["bot_post_quant_conv"],
-    }
     params = {
-        "hierarchy": hierarchy,
+        "hierarchy": convert_hierarchy_params(top_path, bottom_path),
         "segm": convert_segm_tokenizer(load_pth(segm_path))["params"],
         "sampler": convert_sampler(load_pth(sampler_path))["params"],
         "index_pred": convert_index_pred(load_pth(index_pred_path)),
