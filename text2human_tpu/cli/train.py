@@ -195,9 +195,13 @@ class TrainLoop:
         gen["top_post_quant_conv"] = top["params"]["post_quant_conv"]
         params = dict(self.state.params)
         params["gen"] = gen
+        batch_stats = dict(self.state.batch_stats or {})
         if "discriminator" in top:
             params["disc"] = top["discriminator"]["params"]
-        self.state = self.state.replace(params=params)
+            batch_stats["disc"] = top["discriminator"].get(
+                "batch_stats", batch_stats.get("disc", {})
+            )
+        self.state = self.state.replace(params=params, batch_stats=batch_stats)
 
     def step(self, batch) -> Dict[str, float]:
         t, mt = self.trainer, self.mt
