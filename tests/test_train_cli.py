@@ -30,3 +30,20 @@ def test_train_cli_sampler():
         "--synthetic", "--max-iters", "2",
     ])
     assert os.path.exists("experiments/sampler_debug/metrics.jsonl")
+
+
+def test_train_cli_resume():
+    """Full-state resume: second run restores epoch and step from the
+    checkpoint (the reference cannot resume at all)."""
+    train_cli.main([
+        "-opt", "configs/debug/parsing_token_debug.yml", "--synthetic",
+    ])
+    assert os.path.isdir("experiments/parsing_token_debug/models/0")
+    train_cli.main([
+        "-opt", "configs/debug/parsing_token_debug.yml", "--synthetic",
+        "--resume",
+    ])
+    log = open(
+        "experiments/parsing_token_debug/train_parsing_token_debug.log"
+    ).read()
+    assert "resumed from" in log

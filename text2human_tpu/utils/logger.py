@@ -21,15 +21,30 @@ def get_root_logger(
     log_file: Optional[str] = None,
 ) -> logging.Logger:
     logger = logging.getLogger(logger_name)
-    if logger.hasHandlers():
-        return logger
+    logger.setLevel(log_level)  # don't inherit a stricter root level
     fmt = "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s"
-    logging.basicConfig(format=fmt, level=log_level)
+    if not logger.hasHandlers():
+        logging.basicConfig(format=fmt, level=log_level)
     if log_file is not None:
-        handler = logging.FileHandler(log_file, "w")
-        handler.setFormatter(logging.Formatter(fmt))
-        handler.setLevel(log_level)
-        logger.addHandler(handler)
+        # attach the file handler even on a cached logger (a later run may log
+        # to a different experiment dir); drop handlers whose file was deleted
+        # (they would keep writing to the unlinked inode)
+        target = os.path.abspath(log_file)
+        fresh = False
+        for h in list(logger.handlers):
+            base = getattr(h, "baseFilename", None)
+            if base is None:
+                continue
+            if not os.path.exists(base):
+                logger.removeHandler(h)
+                h.close()
+            elif base == target:
+                fresh = True
+        if not fresh:
+            handler = logging.FileHandler(log_file, "a")
+            handler.setFormatter(logging.Formatter(fmt))
+            handler.setLevel(log_level)
+            logger.addHandler(handler)
     return logger
 
 

@@ -20,13 +20,17 @@ def _mkdir_or_archive(path: str, overwrite: bool):
 
 
 def make_exp_dirs(opt: Dict[str, Any]):
-    """Create the experiment/results tree (reference utils/util.py:14-22)."""
+    """Create the experiment/results tree (reference utils/util.py:14-22).
+
+    Training dirs are reusable (``--resume`` needs the checkpoints in place);
+    existing inference result dirs are archived with a timestamp instead of
+    aborting (the reference hard-fails on both)."""
     path_opt = dict(opt["path"])
-    overwrite = "debug" in opt.get("name", "")
     if opt.get("is_train"):
-        _mkdir_or_archive(path_opt.pop("experiments_root"), overwrite)
+        os.makedirs(path_opt.pop("experiments_root"), exist_ok=True)
         os.makedirs(path_opt.pop("models"), exist_ok=True)
     else:
+        overwrite = "debug" in opt.get("name", "")
         _mkdir_or_archive(path_opt.pop("results_root"), overwrite)
 
 
