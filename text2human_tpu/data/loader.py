@@ -9,8 +9,6 @@ because PIL decode + resize release the GIL for the heavy parts.
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 

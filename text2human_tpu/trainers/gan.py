@@ -25,7 +25,6 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from flax import linen as nn
 
 from text2human_tpu.losses.perceptual import LPIPS
 from text2human_tpu.losses.vqgan_loss import (
