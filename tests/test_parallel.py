@@ -103,3 +103,29 @@ def test_sharded_sampler_train_step():
         np.asarray(jax.device_get(ref_state.params["blocks"]["attn"]["query"]["kernel"])),
         atol=2e-5,
     )
+
+
+def test_pipeline_inference_dp_sharded(rng):
+    """sample_from_parsing on an 8-device dp mesh matches single-device."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pipeline import CFGS, RES, _init_params
+    from text2human_tpu.pipelines.sample import SamplePipeline
+    from text2human_tpu.parallel.mesh import shard_pipeline
+
+    pipe = SamplePipeline(CFGS)
+    params = _init_params(pipe, rng)
+    b = 8
+    segm = jnp.asarray(rng.integers(0, 24, (b, RES, RES // 2)))
+    mask = jnp.asarray(rng.integers(0, 3, (b, RES, RES // 2)).astype(np.float32))
+
+    ref = pipe.sample_from_parsing(params, jax.random.key(0), segm, mask, 4)
+
+    mesh = make_mesh({"dp": 8})
+    sh_params, (sh_segm, sh_mask) = shard_pipeline(mesh, params, (segm, mask))
+    out = pipe.sample_from_parsing(sh_params, jax.random.key(0), sh_segm, sh_mask, 4)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out)), np.asarray(ref), atol=1e-4
+    )

@@ -110,3 +110,17 @@ def named_shardings(mesh: Mesh, specs: Any) -> Any:
         specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def shard_pipeline(mesh: Mesh, params: Any, batch_arrays: Any, dp_axis: str = "dp"):
+    """Serving-style placement for SamplePipeline: params replicated over the
+    mesh, batch leaves sharded on ``dp_axis``.  The pipeline's jitted stages
+    then run SPMD with XLA inserting the collectives (none are needed — the
+    whole path is batch-elementwise)."""
+    return (
+        replicate_tree(mesh, params),
+        jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, dp_axis)),
+            batch_arrays,
+        ),
+    )
