@@ -32,6 +32,10 @@ class SelfAttention(nn.Module):
     causal: bool = False
     deterministic: bool = True
     flash: bool = False  # fused Pallas flash-attention kernel (TPU only)
+    # store attention scores in the activation dtype (halves the dominant
+    # [B,H,T,T] HBM traffic; softmax still reduces in f32). Off by default —
+    # bf16 scores perturb sampled logits slightly.
+    bf16_scores: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,13 +62,14 @@ class SelfAttention(nn.Module):
                 sm_scale=1.0 / float(hs) ** 0.5,
             ).transpose(0, 2, 1, 3).astype(self.dtype)
         else:
+            score_dtype = self.dtype if self.bf16_scores else jnp.float32
             att = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=score_dtype
             ) * (1.0 / float(hs) ** 0.5)
             if self.causal:
                 mask = jnp.tril(jnp.ones((t, t), dtype=bool))
                 att = jnp.where(mask[None, None], att, -jnp.inf)
-            att = jax.nn.softmax(att, axis=-1).astype(self.dtype)
+            att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
             att = nn.Dropout(self.attn_pdrop, deterministic=self.deterministic)(att)
             y = jnp.einsum(
                 "bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32
@@ -87,6 +92,7 @@ class Block(nn.Module):
     causal: bool = False
     deterministic: bool = True
     flash: bool = False
+    bf16_scores: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,6 +109,7 @@ class Block(nn.Module):
             causal=self.causal,
             deterministic=self.deterministic,
             flash=self.flash,
+            bf16_scores=self.bf16_scores,
             dtype=self.dtype,
             name="attn",
         )(h)
@@ -129,6 +136,7 @@ class TransformerMultiHead(nn.Module):
         deterministic: bool = True,
         select_heads: bool = False,
         flash: bool = False,
+        bf16_scores: bool = False,
     ) -> jax.Array:
         """idx/segm_tokens/texture_tokens: [B, T] int32.
 
@@ -178,6 +186,7 @@ class TransformerMultiHead(nn.Module):
             causal=cfg.sampler == "autoregressive",
             deterministic=deterministic,
             flash=flash,
+            bf16_scores=bf16_scores,
             dtype=self.dtype,
             name="blocks",
         )(x, None)
