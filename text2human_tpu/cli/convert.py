@@ -55,10 +55,12 @@ def main(argv=None):
         from text2human_tpu.utils.torch_export import top_vqgan_export
 
         tree = load_checkpoint(args.ckpt)
+        # train-CLI checkpoints restore as nested dicts:
+        # {"state": {"params": {"gen": ..., "disc": ...}, ...}, "epoch": N}
         params = tree.get("state", tree)
-        if hasattr(params, "params"):
-            params = params.params
-        if "gen" in params:
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+        if isinstance(params, dict) and "gen" in params:
             params = params["gen"]
         exported = top_vqgan_export(params)
         torch_ckpt = {

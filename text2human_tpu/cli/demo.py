@@ -40,7 +40,7 @@ def main(argv=None):
     from PIL import Image
 
     from text2human_tpu.cli.builders import build_pipeline
-    from text2human_tpu.cli.sample import load_params
+    from text2human_tpu.cli.sample import load_params, save_png
     from text2human_tpu.config import parse
     from text2human_tpu.ui.session import InteractiveSession, segm_to_palette
 
@@ -71,8 +71,7 @@ def main(argv=None):
 
     texture_text = args.texture_text or input("describe the textures: ")
     img = sess.generate_human(texture_text, sample_steps=args.sample_steps)
-    arr = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(args.out)
+    save_png(args.out, img)
     print(f"generated image -> {args.out}")
 
 

@@ -39,7 +39,16 @@ def save_png(path: str, img01: np.ndarray):
     Image.fromarray(arr).save(path)
 
 
-def load_params(pipe, opt: Dict[str, Any], synthetic: bool):
+def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
+    # a converted/native orbax pipeline checkpoint wins
+    # (written by `cli/convert.py import-pipeline` or given via YAML
+    # `pipeline_checkpoint`)
+    ckpt = ckpt or opt.get("pipeline_checkpoint")
+    if ckpt and not synthetic:
+        from text2human_tpu.utils.checkpoint import load_checkpoint
+
+        return load_checkpoint(ckpt)
+
     paths = [
         opt.get("top_vae_path"),
         opt.get("bot_vae_path"),
@@ -102,6 +111,9 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--max-batches", type=int, default=0)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--ckpt", default="",
+                        help="orbax pipeline checkpoint (from cli/convert.py "
+                             "import-pipeline); overrides the .pth paths")
     args = parser.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -119,7 +131,7 @@ def main(argv=None):
 
     with_pose = opt["model_type"] == "SampleFromPoseModel"
     pipe = build_pipeline(opt)
-    params = load_params(pipe, opt, args.synthetic)
+    params = load_params(pipe, opt, args.synthetic, ckpt=args.ckpt)
 
     if args.synthetic:
         ds = SyntheticDataset(

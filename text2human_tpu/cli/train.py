@@ -157,11 +157,14 @@ class TrainLoop:
         (reference hierarchy_inference_model.py:131-168)."""
         top = self.opt.get("top_vae_path")
         bot = self.opt.get("bot_vae_path")
-        if (
-            not self.synthetic
-            and top and osp.exists(top)
-            and bot and osp.exists(bot)
-        ):
+        if not self.synthetic and (top or bot):
+            missing = [p for p in (top, bot) if not (p and osp.exists(p))]
+            if missing:
+                # never silently train against random frozen tokenizers
+                raise FileNotFoundError(
+                    "index-prediction training needs both top_vae_path and "
+                    f"bot_vae_path checkpoints; missing: {missing}"
+                )
             from text2human_tpu.utils.torch_import import convert_hierarchy_params
 
             return convert_hierarchy_params(top, bot)
@@ -399,6 +402,14 @@ def main(argv=None):
             loop.state = restored["state"]
             start_epoch = int(restored["epoch"]) + 1
             current_iter = int(jax.device_get(loop.state.step))
+            # cumulative schedules ('schedule'/'linear2exp') must replay the
+            # skipped epochs to rebuild their lr state
+            if opt.get("lr_decay") in ("schedule", "linear2exp"):
+                for past in range(start_epoch):
+                    loop._lr = lr_for_epoch(
+                        opt, past, current_iter, prev_lr=getattr(loop, "_lr", None)
+                    )
+                    loop._lr_epoch = past
             logger.info(
                 f"resumed from {resume_path}: epoch {start_epoch}, "
                 f"step {current_iter}"

@@ -47,7 +47,12 @@ class SelfAttention(nn.Module):
         k = dense(c, name="key")(x).reshape(b, t, self.n_head, hs)
         v = dense(c, name="value")(x).reshape(b, t, self.n_head, hs)
 
-        if self.flash and self.attn_pdrop == 0.0:
+        if self.flash and self.attn_pdrop > 0.0:
+            raise ValueError(
+                "flash attention has no dropout support; set attn_pdrop=0 "
+                "or disable flash"
+            )
+        if self.flash:
             # streams K/V tiles through VMEM — never materializes the
             # [B, H, T, T] score matrix in HBM (the batch>=16 bottleneck)
             from jax.experimental.pallas.ops.tpu.flash_attention import (

@@ -35,11 +35,13 @@ def get_root_logger(
             base = getattr(h, "baseFilename", None)
             if base is None:
                 continue
-            if not os.path.exists(base):
+            if base == target and os.path.exists(base):
+                fresh = True
+            else:
+                # one active experiment log at a time: drop stale/deleted file
+                # handlers so a later run doesn't cross-write the earlier log
                 logger.removeHandler(h)
                 h.close()
-            elif base == target:
-                fresh = True
         if not fresh:
             handler = logging.FileHandler(log_file, "a")
             handler.setFormatter(logging.Formatter(fmt))

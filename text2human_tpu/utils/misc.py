@@ -14,7 +14,12 @@ def _mkdir_or_archive(path: str, overwrite: bool):
     """Create ``path``; an existing non-debug dir is renamed away with a
     timestamp suffix instead of aborting the run."""
     if os.path.isdir(path) and not overwrite:
-        archived = f"{path}_archived_{time.strftime('%Y%m%d_%H%M%S')}"
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        archived = f"{path}_archived_{stamp}"
+        n = 1
+        while os.path.exists(archived):  # same-second reruns
+            archived = f"{path}_archived_{stamp}_{n}"
+            n += 1
         os.rename(path, archived)
     os.makedirs(path, exist_ok=True)
 
