@@ -295,3 +295,18 @@ def test_sampler_training_reduces_loss(rng):
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
     assert last < first * 0.75, (first, last)
+
+
+def test_gan_constant_weight_option(rng):
+    """adaptive_weight=False uses the constant disc_weight_max."""
+    trainer = TopVQGANTrainer(
+        TINY_IMG, TINY_QUANT,
+        GANTrainConfig(disc_start_step=0, adaptive_weight=False, disc_weight_max=0.5),
+        disc=TINY_DISC,
+    )
+    batch = _img_batch(rng)
+    gen = trainer.init_gen_params(jax.random.key(0), batch["image"], batch["texture_mask"])
+    state = trainer.init_state(jax.random.key(1), gen, batch["image"])
+    state, metrics = trainer.train_step(state, batch, jax.random.key(2))
+    assert float(metrics["d_weight"]) == 0.5
+    assert np.isfinite(float(metrics["loss"]))

@@ -89,6 +89,7 @@ def gan_cfg(opt: Dict[str, Any]) -> GANTrainConfig:
         disc_start_step=_get(opt, "disc_start_step", 30001),
         disc_weight_max=_get(opt, "disc_weight_max", 1.0),
         diff_aug=bool(opt.get("diff_aug", True)),
+        adaptive_weight=bool(_get(opt, "adaptive_weight", True)),
     )
 
 

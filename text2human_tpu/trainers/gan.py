@@ -57,6 +57,9 @@ class GANTrainConfig:
     disc_weight_max: float = 1.0
     diff_aug: bool = True
     policy: str = "color,translation"
+    # grad-norm-ratio adaptive disc weight (reference default). False uses a
+    # constant weight of disc_weight_max — cheaper (skips the extra VJPs).
+    adaptive_weight: bool = True
 
 
 class GANTrainer:
@@ -144,20 +147,24 @@ class GANTrainer:
                     "perceptual": jnp.mean(p),
                 }
 
-            (nll, g_loss), head_vjp, aux = jax.vjp(heads, xrec, has_aux=True)
-            (d_nll_dx,) = head_vjp((jnp.ones(()), jnp.zeros(())))
-            (d_g_dx,) = head_vjp((jnp.zeros(()), jnp.ones(())))
+            if cfg.adaptive_weight:
+                (nll, g_loss), head_vjp, aux = jax.vjp(heads, xrec, has_aux=True)
+                (d_nll_dx,) = head_vjp((jnp.ones(()), jnp.zeros(())))
+                (d_g_dx,) = head_vjp((jnp.zeros(()), jnp.ones(())))
 
-            w = self._get_conv_out(gen_params)
-            a_sg = jax.lax.stop_gradient(a_pre)
-            _, conv_vjp = jax.vjp(
-                lambda wv: conv2d_same(a_sg, wv["kernel"], wv["bias"]), w
-            )
-            (nll_gw,) = conv_vjp(d_nll_dx)
-            (g_gw,) = conv_vjp(d_g_dx)
-            d_weight = calculate_adaptive_weight(
-                nll_gw["kernel"], g_gw["kernel"], cfg.disc_weight_max
-            )
+                w = self._get_conv_out(gen_params)
+                a_sg = jax.lax.stop_gradient(a_pre)
+                _, conv_vjp = jax.vjp(
+                    lambda wv: conv2d_same(a_sg, wv["kernel"], wv["bias"]), w
+                )
+                (nll_gw,) = conv_vjp(d_nll_dx)
+                (g_gw,) = conv_vjp(d_g_dx)
+                d_weight = calculate_adaptive_weight(
+                    nll_gw["kernel"], g_gw["kernel"], cfg.disc_weight_max
+                )
+            else:
+                (nll, g_loss), aux = heads(xrec)
+                d_weight = jnp.asarray(cfg.disc_weight_max, jnp.float32)
             d_weight = d_weight * adopt_weight(1.0, state.step, cfg.disc_start_step)
 
             loss = nll + d_weight * g_loss + qloss
