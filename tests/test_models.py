@@ -178,3 +178,23 @@ def test_transformer_select_heads_matches_full():
     sel = select_head_logits(full, tex)
     fused = tf.apply(params, idx, segm, tex, select_heads=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(sel), atol=1e-5)
+
+
+def test_transformer_causal_mode():
+    """autoregressive mode: no mask token in vocab; future tokens cannot
+    influence earlier positions (reference transformer_arch.py:30-35,125-127)."""
+    cfg = dataclasses.replace(TINY_TF, sampler="autoregressive")
+    assert cfg.vocab_size == cfg.codebook_size  # no +1 mask token
+    tf = TransformerMultiHead(cfg)
+    b, t = 1, 12
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, cfg.codebook_size, (b, t)), jnp.int32)
+    segm = jnp.zeros((b, t), jnp.int32)
+    tex = jnp.zeros((b, t), jnp.int32)
+    params = tf.init(jax.random.key(0), idx, segm, tex)
+    base = np.asarray(tf.apply(params, idx, segm, tex))
+    # change the LAST token: logits at earlier positions must not move
+    idx2 = idx.at[0, -1].set((idx[0, -1] + 1) % cfg.codebook_size)
+    out2 = np.asarray(tf.apply(params, idx2, segm, tex))
+    np.testing.assert_allclose(out2[:, :-1], base[:, :-1], atol=1e-5)
+    assert not np.allclose(out2[:, -1], base[:, -1])
