@@ -144,3 +144,43 @@ def test_spatial_texture_quantizer(rng):
     np.testing.assert_allclose(
         np.asarray(entry), np.asarray(jax.lax.stop_gradient(out.z_q)), atol=1e-6
     )
+
+
+def test_vq_gradients_match_torch_semantics(rng):
+    """Straight-through + legacy-beta codebook loss gradients vs torch autograd.
+
+    d(loss)/d(z) must combine the pass-through recon gradient with the
+    commitment term; d(loss)/d(codebook) only the beta'd embed term
+    (reference vqgan_arch.py:98-106 legacy branch).
+    """
+    torch = pytest.importorskip("torch")
+    n_e, d, n = 6, 4, 10
+    z = rng.standard_normal((1, 2, 5, d)).astype(np.float32)
+    book = rng.standard_normal((n_e, d)).astype(np.float32)
+    beta = 0.25
+
+    # ours: loss = sum(z_q) + vq_loss  (sum(z_q) stands in for the recon loss)
+    vq = VectorQuantizer(n_embed=n_e, embed_dim=d, beta=beta)
+    params = {"params": {"codebook": jnp.asarray(book)}}
+
+    def total(zz, pp):
+        out = vq.apply(pp, zz)
+        return jnp.sum(out.z_q) + out.loss
+
+    g_z, g_p = jax.grad(total, argnums=(0, 1))(jnp.asarray(z), params)
+
+    # torch replica of the same math from the raw formulas
+    zt = torch.tensor(z, requires_grad=True)
+    bt = torch.tensor(book, requires_grad=True)
+    z_flat = zt.reshape(-1, d)
+    d2 = (z_flat ** 2).sum(1, keepdim=True) + (bt ** 2).sum(1) - 2 * z_flat @ bt.T
+    idx = d2.argmin(1)
+    z_q = bt[idx].reshape(zt.shape)
+    loss = ((z_q.detach() - zt) ** 2).mean() + beta * ((z_q - zt.detach()) ** 2).mean()
+    z_q_st = zt + (z_q - zt).detach()
+    (z_q_st.sum() + loss).backward()
+
+    np.testing.assert_allclose(np.asarray(g_z), zt.grad.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_p["params"]["codebook"]), bt.grad.numpy(), atol=1e-5
+    )
