@@ -310,3 +310,19 @@ def test_gan_constant_weight_option(rng):
     state, metrics = trainer.train_step(state, batch, jax.random.key(2))
     assert float(metrics["d_weight"]) == 0.5
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_plain_image_vqgan_no_mask(rng):
+    """VQImageModel path: single shared codebook, no texture mask in the batch
+    (reference models/vqgan_model.py:245-344)."""
+    trainer = TopVQGANTrainer(
+        TINY_IMG,
+        dataclasses.replace(TINY_QUANT, num_codebooks=1),
+        GANTrainConfig(disc_start_step=0),
+        disc=TINY_DISC,
+    )
+    batch = {"image": _img_batch(rng)["image"]}  # no texture_mask key
+    gen = trainer.init_gen_params(jax.random.key(0), batch["image"], None)
+    state = trainer.init_state(jax.random.key(1), gen, batch["image"])
+    state, metrics = trainer.train_step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss"]))

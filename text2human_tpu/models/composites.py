@@ -102,9 +102,13 @@ class TextureVQGAN(nn.Module):
             legacy=self.quant.legacy,
         )
 
-    def encode(self, x: jax.Array, texture_mask: jax.Array) -> QuantOut:
+    def encode(self, x: jax.Array, texture_mask: Optional[jax.Array]) -> QuantOut:
         h = self.encoder(x)
         h = self.quant_conv(h)
+        if texture_mask is None:
+            # plain image VQGAN (reference VQImageModel): a single shared
+            # codebook, i.e. texture id 0 everywhere
+            texture_mask = jnp.zeros(x.shape[:3], jnp.float32)
         return self.quantize(h, texture_mask)
 
     def decode(self, quant: jax.Array, *, return_pre_out: bool = False):
