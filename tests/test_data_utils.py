@@ -98,3 +98,18 @@ def test_options_parse(tmp_path):
     assert opt["val_freq"] == 1  # debug override
     assert opt["missing_key"] is None  # NoneDict semantics
     assert opt["path"]["models"].endswith("experiments/exp_debug/models")
+
+
+def test_progress_bar_and_meter(capsys):
+    from text2human_tpu.utils.misc import AverageMeter, ProgressBar
+
+    bar = ProgressBar(task_num=4)
+    for _ in range(4):
+        bar.update("step")
+    out = capsys.readouterr().out
+    assert "4/4" in out
+
+    meter = AverageMeter()
+    meter.update(1.0, n=2)
+    meter.update(4.0, n=2)
+    assert meter.avg == 2.5 and meter.count == 4

@@ -62,3 +62,38 @@ class AverageMeter:
         self.sum += val * n
         self.count += n
         self.avg = self.sum / max(self.count, 1)
+
+
+class ProgressBar:
+    """Minimal terminal progress bar (reference utils/util.py:34-94)."""
+
+    def __init__(self, task_num: int = 0, bar_width: int = 40):
+        import sys
+        import time as _time
+
+        self.task_num = task_num
+        self.bar_width = bar_width
+        self.completed = 0
+        self.start_time = _time.time()
+        self._out = sys.stdout
+
+    def update(self, msg: str = ""):
+        import time as _time
+
+        self.completed += 1
+        elapsed = max(_time.time() - self.start_time, 1e-9)
+        fps = self.completed / elapsed
+        if self.task_num > 0:
+            pct = self.completed / float(self.task_num)
+            filled = int(self.bar_width * pct)
+            bar = ">" * filled + "-" * (self.bar_width - filled)
+            eta = int(elapsed * (1 - pct) / max(pct, 1e-9) + 0.5)
+            self._out.write(
+                f"\r[{bar}] {self.completed}/{self.task_num} "
+                f"{fps:.1f} it/s eta {eta}s {msg}"
+            )
+        else:
+            self._out.write(
+                f"\rcompleted {self.completed} ({fps:.1f} it/s) {msg}"
+            )
+        self._out.flush()
