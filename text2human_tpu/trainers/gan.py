@@ -112,6 +112,86 @@ class GANTrainer:
             node = node[k]
         return node
 
+    def gen_grads_and_metrics(
+        self, gen_params, disc_params, disc_stats, step, x, mask, aug_key
+    ):
+        """Generator gradients + metrics for one batch.
+
+        Structured as explicit VJPs so the expensive forwards run exactly
+        once: one autoencoder forward, one loss-head forward (LPIPS + disc),
+        then head backwards whose cotangents are reused both for the
+        adaptive weight and for the parameter gradient.  The naive
+        value_and_grad formulation re-ran the LPIPS tower ~3x per step
+        (29% of the b=8 GAN step, BENCHMARKS.md); the reference's two
+        retain_graph backwards (vqgan_loss.py:5-12) never re-run the VGG
+        forward either.  Gradient equality with the naive form is tested in
+        tests/test_trainers.py.
+        """
+        cfg = self.cfg
+        xrec_tuple, ae_vjp = jax.vjp(
+            lambda p: self.ae_apply(p, x, mask), gen_params
+        )
+        xrec, qloss, a_pre = xrec_tuple
+
+        def heads(xr):
+            recon = jnp.abs(x - xr)
+            p = self.lpips.apply(self.lpips_vars, x, xr)
+            nll = jnp.mean(recon + cfg.perceptual_weight * p)
+            xr_in = (
+                diff_augment(aug_key, xr, cfg.policy) if cfg.diff_aug else xr
+            )
+            logits_fake, _ = self.disc.apply(
+                {"params": disc_params, "batch_stats": disc_stats},
+                xr_in,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            g = -jnp.mean(logits_fake)
+            return (nll, g), {
+                "l1": jnp.mean(recon),
+                "perceptual": jnp.mean(p),
+            }
+
+        (nll, g_loss), head_vjp, aux = jax.vjp(heads, xrec, has_aux=True)
+
+        if cfg.adaptive_weight:
+            (d_nll_dx,) = head_vjp((jnp.ones(()), jnp.zeros(())))
+            (d_g_dx,) = head_vjp((jnp.zeros(()), jnp.ones(())))
+            w = self._get_conv_out(gen_params)
+            a_sg = jax.lax.stop_gradient(a_pre)
+            _, conv_vjp = jax.vjp(
+                lambda wv: conv2d_same(a_sg, wv["kernel"], wv["bias"]), w
+            )
+            (nll_gw,) = conv_vjp(d_nll_dx)
+            (g_gw,) = conv_vjp(d_g_dx)
+            d_weight = calculate_adaptive_weight(
+                nll_gw["kernel"], g_gw["kernel"], cfg.disc_weight_max
+            )
+            d_weight = d_weight * adopt_weight(1.0, step, cfg.disc_start_step)
+            # VJPs are linear in the cotangent: d loss/d xrec is the same
+            # combination that value_and_grad would produce.
+            d_loss_dxrec = jax.tree.map(
+                lambda a, b: a + d_weight * b, d_nll_dx, d_g_dx
+            )
+        else:
+            d_weight = jnp.asarray(cfg.disc_weight_max, jnp.float32)
+            d_weight = d_weight * adopt_weight(1.0, step, cfg.disc_start_step)
+            (d_loss_dxrec,) = head_vjp((jnp.ones(()), d_weight))
+
+        loss = nll + d_weight * g_loss + qloss
+        (gen_grads,) = ae_vjp(
+            (d_loss_dxrec, jnp.ones_like(qloss), jnp.zeros_like(a_pre))
+        )
+        metrics = {
+            "loss": loss,
+            "nll_loss": nll,
+            "g_loss": g_loss,
+            "d_weight": d_weight,
+            "codebook_loss": qloss,
+            **aux,
+        }
+        return gen_grads, metrics, xrec
+
     def _train_step(self, state: TrainState, batch: Dict[str, jax.Array], key):
         cfg = self.cfg
         x = batch["image"]
@@ -130,57 +210,10 @@ class GANTrainer:
             return out, updates["batch_stats"]
 
         # ----- generator step -----
-        def gen_loss_fn(gen_params):
-            xrec, qloss, a_pre = self.ae_apply(gen_params, x, mask)
-
-            def heads(xr):
-                recon = jnp.abs(x - xr)
-                p = self.lpips.apply(self.lpips_vars, x, xr)
-                nll = jnp.mean(recon + cfg.perceptual_weight * p)
-                xr_in = (
-                    diff_augment(aug_key, xr, cfg.policy) if cfg.diff_aug else xr
-                )
-                logits_fake, _ = disc_fwd(disc_params, xr_in)
-                g = -jnp.mean(logits_fake)
-                return (nll, g), {
-                    "l1": jnp.mean(recon),
-                    "perceptual": jnp.mean(p),
-                }
-
-            if cfg.adaptive_weight:
-                (nll, g_loss), head_vjp, aux = jax.vjp(heads, xrec, has_aux=True)
-                (d_nll_dx,) = head_vjp((jnp.ones(()), jnp.zeros(())))
-                (d_g_dx,) = head_vjp((jnp.zeros(()), jnp.ones(())))
-
-                w = self._get_conv_out(gen_params)
-                a_sg = jax.lax.stop_gradient(a_pre)
-                _, conv_vjp = jax.vjp(
-                    lambda wv: conv2d_same(a_sg, wv["kernel"], wv["bias"]), w
-                )
-                (nll_gw,) = conv_vjp(d_nll_dx)
-                (g_gw,) = conv_vjp(d_g_dx)
-                d_weight = calculate_adaptive_weight(
-                    nll_gw["kernel"], g_gw["kernel"], cfg.disc_weight_max
-                )
-            else:
-                (nll, g_loss), aux = heads(xrec)
-                d_weight = jnp.asarray(cfg.disc_weight_max, jnp.float32)
-            d_weight = d_weight * adopt_weight(1.0, state.step, cfg.disc_start_step)
-
-            loss = nll + d_weight * g_loss + qloss
-            metrics = {
-                "loss": loss,
-                "nll_loss": nll,
-                "g_loss": g_loss,
-                "d_weight": d_weight,
-                "codebook_loss": qloss,
-                **aux,
-            }
-            return loss, (metrics, xrec)
-
-        (_, (metrics, xrec)), gen_grads = jax.value_and_grad(
-            gen_loss_fn, has_aux=True
-        )(state.params["gen"])
+        gen_grads, metrics, xrec = self.gen_grads_and_metrics(
+            state.params["gen"], disc_params, disc_stats, state.step, x, mask,
+            aug_key,
+        )
 
         # ----- discriminator step (branch-free gate) -----
         xrec_sg = jax.lax.stop_gradient(xrec)
@@ -204,7 +237,11 @@ class GANTrainer:
         (d_loss, new_disc_stats), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True
         )(disc_params)
-        gate = (state.step > cfg.disc_start_step).astype(jnp.float32)
+        # same `<` gate as the generator side (reference zeroes both via
+        # adopt_weight's `global_step < threshold`, vqgan_loss.py:15-18 used
+        # at vqgan_model.py:475-484) — a `>` here would start the disc one
+        # step later than the reference
+        gate = adopt_weight(1.0, state.step, cfg.disc_start_step)
         disc_grads = jax.tree.map(lambda g: g * gate, disc_grads)
         metrics["d_loss"] = d_loss
 
