@@ -1,0 +1,85 @@
+"""Fused whole-sequence attention kernel vs the XLA einsum reference
+(interpret mode on CPU; the same code path runs compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2human_tpu.ops.attn_pallas import fused_attention, fused_attention_btc
+
+
+def _reference(q, k, v, n_head, scale):
+    b, t, c = q.shape
+    d = c // n_head
+    qh = q.reshape(b, t, n_head, d)
+    kh = k.reshape(b, t, n_head, d)
+    vh = v.reshape(b, t, n_head, d)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
+    return o.reshape(b, t, c)
+
+
+def test_fused_attention_btc_matches_einsum(rng):
+    b, t, n_head, d = 2, 128, 4, 64
+    c = n_head * d
+    q = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    got = fused_attention_btc(q, k, v, n_head=n_head, sm_scale=scale, interpret=True)
+    want = _reference(q, k, v, n_head, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_fused_attention_btc_bf16(rng):
+    b, t, n_head, d = 1, 128, 2, 64
+    c = n_head * d
+    q = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    got = fused_attention_btc(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        n_head=n_head,
+        sm_scale=scale,
+        interpret=True,
+    ).astype(jnp.float32)
+    want = _reference(q, k, v, n_head, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+
+
+def test_fused_attention_bhtd_matches_einsum(rng):
+    b, h, t, d = 2, 3, 64, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    got = fused_attention(q, k, v, sm_scale=scale, interpret=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_self_attention_flash_matches_einsum(rng):
+    """SelfAttention(flash=True) (interpret off-TPU) == the einsum path."""
+    from text2human_tpu.models.transformer import SelfAttention
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 128)).astype(np.float32))
+    mod = SelfAttention(n_head=2)
+    params = mod.init(jax.random.key(0), x)["params"]
+    base = mod.apply({"params": params}, x)
+    flash = SelfAttention(n_head=2, flash=True).apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base), atol=1e-5)
+
+
+def test_flash_causal_raises(rng):
+    from text2human_tpu.models.transformer import SelfAttention
+
+    x = jnp.zeros((1, 8, 16))
+    mod = SelfAttention(n_head=2, flash=True, causal=True)
+    with pytest.raises(ValueError, match="non-causal"):
+        mod.init(jax.random.key(0), x)

@@ -43,30 +43,40 @@ class SelfAttention(nn.Module):
         b, t, c = x.shape
         hs = c // self.n_head
         dense = partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
-        q = dense(c, name="query")(x).reshape(b, t, self.n_head, hs)
-        k = dense(c, name="key")(x).reshape(b, t, self.n_head, hs)
-        v = dense(c, name="value")(x).reshape(b, t, self.n_head, hs)
+        q = dense(c, name="query")(x)
+        k = dense(c, name="key")(x)
+        v = dense(c, name="value")(x)
 
         if self.flash and self.attn_pdrop > 0.0:
             raise ValueError(
                 "flash attention has no dropout support; set attn_pdrop=0 "
                 "or disable flash"
             )
-        if self.flash:
-            # streams K/V tiles through VMEM — never materializes the
-            # [B, H, T, T] score matrix in HBM (the batch>=16 bottleneck)
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention,
+        if self.flash and self.causal:
+            raise ValueError(
+                "the fused attention kernel is non-causal (absorbing-"
+                "diffusion decode); disable flash for autoregressive mode"
             )
+        if self.flash:
+            # whole-sequence fused kernel: each head's [T, T] score matrix
+            # stays in VMEM — never written to HBM (the batch>=16 bottleneck;
+            # ops/attn_pallas.py). Consumes the dense layers' packed [B,T,C]
+            # output directly, so no transpose/reshape copies. Interpreted
+            # off-TPU so CPU tests exercise the same code path.
+            from text2human_tpu.ops.attn_pallas import fused_attention_btc
 
-            y = flash_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                causal=self.causal,
+            y = fused_attention_btc(
+                q,
+                k,
+                v,
+                n_head=self.n_head,
                 sm_scale=1.0 / float(hs) ** 0.5,
-            ).transpose(0, 2, 1, 3).astype(self.dtype)
+                interpret=jax.default_backend() != "tpu",
+            ).astype(self.dtype)
         else:
+            q = q.reshape(b, t, self.n_head, hs)
+            k = k.reshape(b, t, self.n_head, hs)
+            v = v.reshape(b, t, self.n_head, hs)
             score_dtype = self.dtype if self.bf16_scores else jnp.float32
             att = jnp.einsum(
                 "bqhd,bkhd->bhqk", q, k, preferred_element_type=score_dtype
@@ -79,7 +89,7 @@ class SelfAttention(nn.Module):
             y = jnp.einsum(
                 "bhqk,bkhd->bqhd", att, v, preferred_element_type=jnp.float32
             ).astype(self.dtype)
-        y = y.reshape(b, t, c)
+            y = y.reshape(b, t, c)
         y = dense(c, name="proj")(y)
         y = nn.Dropout(self.resid_pdrop, deterministic=self.deterministic)(y)
         return y

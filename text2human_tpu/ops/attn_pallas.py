@@ -1,0 +1,136 @@
+"""Pallas TPU kernel: whole-sequence fused attention for the sampler trunk.
+
+The sampler's attention is T=512 tokens x head_dim 64 (configs/sampler.yml:
+58-62; reference models/archs/transformer_arch.py:9-72).  At serving batch
+sizes the XLA einsum path writes the [B, H, T, T] f32 score matrix to HBM and
+reads it back around the softmax — ~13 GB per denoise step at batch 32 over
+24 layers, which is why round-1 throughput *peaked at batch 4*
+(BENCHMARKS.md).  The stock Pallas flash kernel was 2x slower here: its
+streaming tiles and running-max bookkeeping are built for long sequences,
+while this workload's entire per-head score matrix is only 1 MB.
+
+This kernel instead processes one (batch, head) pair per grid step with the
+full T x T score matrix resident in VMEM (q/k/v blocks + f32 scores ~1.5 MB,
+far under the ~16 MB budget): one QK^T matmul, an exact softmax (single max,
+no online rescaling), one PV matmul.  Scores never touch HBM; per-step HBM
+traffic is just q/k/v/o.
+
+Inference-only (no dropout, no mask) — the absorbing-diffusion decode loop is
+bidirectional (reference sampler='absorbing', transformer_arch.py:30-35).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel_btc(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, n_head: int):
+    # refs are [1, T, C] blocks of the packed multi-head activations (the
+    # dense layers' native output layout — no transpose/reshape copies);
+    # heads are static column slices, processed sequentially with each
+    # head's full [T, T] score matrix living only in VMEM
+    d = q_ref.shape[-1] // n_head
+    for h in range(n_head):
+        cols = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, cols]  # [T, D]
+        k = k_ref[0, :, cols]
+        v = v_ref[0, :, cols]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = (p / denom).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, cols] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "sm_scale", "interpret"))
+def fused_attention_btc(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    sm_scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Like :func:`fused_attention` but takes/returns the packed [B, T, C]
+    layout (C = n_head * head_dim) the trunk's dense layers already produce,
+    so no transpose or reshape copies are materialized.  One grid step per
+    batch element with an unrolled in-kernel head loop (Mosaic requires the
+    trailing two block axes whole)."""
+    b, t, c = q.shape
+    spec = pl.BlockSpec((1, t, c), lambda ib: (ib, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_btc, sm_scale=sm_scale, n_head=n_head),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        grid=(b,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * t * t * c,
+            transcendentals=b * n_head * t * t,
+            bytes_accessed=4 * b * t * c * q.dtype.itemsize,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float):
+    q = q_ref[0]  # [T, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)  # bf16 PV matmul, f32 accumulation
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    sm_scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Non-causal attention, softmax in f32, scores VMEM-resident.
+
+    q/k/v: [B, H, T, D] (any float dtype; bf16 recommended) -> [B, H, T, D].
+    """
+    b, h, t, d = q.shape
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, t, d)
+    vf = v.reshape(b * h, t, d)
+    spec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * t * t * d,
+            transcendentals=b * h * t * t,
+            bytes_accessed=4 * b * h * t * d * q.dtype.itemsize,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, t, d)

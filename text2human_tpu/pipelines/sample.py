@@ -110,8 +110,16 @@ class SamplePipeline:
       params['parsing_gen']  {'params':…, 'batch_stats':…}  (pose path only)
     """
 
-    def __init__(self, cfgs: PipelineConfigs, dtype=jnp.float32):
+    def __init__(self, cfgs: PipelineConfigs, dtype=jnp.float32, fused_attn=None):
         self.cfgs = cfgs
+        # whole-sequence fused attention in the decode loop (ops/attn_pallas):
+        # measured +58% throughput at batch 32, +5% at batch 4 on v5e
+        # (BENCHMARKS.md). Auto: on for TPU backends, off elsewhere (the
+        # interpret-mode fallback is for tests, far too slow for a 256-step
+        # scan on CPU).
+        if fused_attn is None:
+            fused_attn = jax.default_backend() == "tpu"
+        self.fused_attn = fused_attn
         self.hierarchy = HierarchyVQ(cfgs.top, cfgs.top_quant, cfgs.bot, cfgs.bot_quant)
         self.segm_vq = SegmVQVAE(cfgs.segm, cfgs.segm_quant)
         self.denoiser = TransformerMultiHead(cfgs.transformer, dtype=dtype)
@@ -151,15 +159,16 @@ class SamplePipeline:
         def denoise(x_t):
             # select_heads: emit only each position's active head — avoids the
             # [B,T,18,1024] logits tensor entirely (HBM-bound at batch >= 16).
-            # NOTE: flash=True measured ~2x slower here — at T=512/head_dim 64
-            # the XLA einsum attention beats the Pallas flash kernel (the
-            # per-head score matrix is only 1 MB), so it stays off.
+            # flash: whole-sequence fused attention keeps the [T,T] scores in
+            # VMEM (ops/attn_pallas.py) — removes the score-matrix HBM traffic
+            # that made round-1 throughput peak at batch 4.
             return self.denoiser.apply(
                 {"params": params["sampler"]},
                 x_t,
                 segm_tokens,
                 texture_tokens,
                 select_heads=True,
+                flash=self.fused_attn,
             )
 
         local, _ = sample_loop(
