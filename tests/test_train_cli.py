@@ -38,7 +38,10 @@ def test_train_cli_resume():
     train_cli.main([
         "-opt", "configs/debug/parsing_token_debug.yml", "--synthetic",
     ])
+    # every val epoch gets an epoch-named checkpoint (reference
+    # train_vqvae.py:126-128) and the declared-metric best is tracked
     assert os.path.isdir("experiments/parsing_token_debug/models/0")
+    assert os.path.isdir("experiments/parsing_token_debug/models/best")
     train_cli.main([
         "-opt", "configs/debug/parsing_token_debug.yml", "--synthetic",
         "--resume",

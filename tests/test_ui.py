@@ -37,3 +37,57 @@ def test_interactive_session_flow(rng):
     assert img.shape == (RES, RES // 2, 3)
     assert np.isfinite(img).all()
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_stroke_undo():
+    """paint/set_parsing_rgb are undoable per stroke; a fresh parsing map
+    clears the history (reference ui/mouse_event.py:36-129)."""
+    sess = InteractiveSession.__new__(InteractiveSession)
+    sess._history = []
+    sess.segm = np.zeros((8, 8), np.int64)
+
+    before = sess.segm.copy()
+    sess.paint(5, [(2, 2)], brush=3)
+    assert (sess.segm == 5).sum() == 9
+    sess.paint(7, [(6, 6)], brush=1)
+    assert (sess.segm == 7).sum() == 1
+
+    assert sess.undo()  # revert the class-7 stroke
+    assert (sess.segm == 7).sum() == 0 and (sess.segm == 5).sum() == 9
+    assert sess.undo()  # revert the class-5 stroke
+    np.testing.assert_array_equal(sess.segm, before)
+    assert not sess.undo()  # empty history
+
+    sess.set_parsing_rgb(segm_to_palette(np.full((8, 8), 3)))
+    assert (sess.segm == 3).all()
+    assert sess.undo()
+    np.testing.assert_array_equal(sess.segm, before)
+
+
+def test_segm_tokenizer_random_projection_colorize(rng):
+    """to_rgb: fixed random projection, min-max normalized to [-1, 1]
+    (reference models/vqgan_model.py:173-174,194-197)."""
+    import jax.numpy as jnp
+
+    from text2human_tpu.config import QuantizerConfig, VQGANConfig
+    from text2human_tpu.ops.nn import one_hot_segm
+    from text2human_tpu.trainers.segm_tokenizer import (
+        SegmTokenizerConfig,
+        SegmTokenizerTrainer,
+    )
+
+    cfg = VQGANConfig(
+        ch=8, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(16,),
+        resolution=32, z_channels=8, embed_dim=8, in_channels=6, out_ch=6,
+    )
+    trainer = SegmTokenizerTrainer(
+        cfg, QuantizerConfig(n_embed=16, embed_dim=8),
+        SegmTokenizerConfig(num_segm_classes=6),
+    )
+    segm = jnp.asarray(rng.integers(0, 6, (2, 8, 8)))
+    rgb = trainer.to_rgb(one_hot_segm(segm, 6))
+    assert rgb.shape == (2, 8, 8, 3)
+    assert float(rgb.min()) == -1.0 and float(rgb.max()) == 1.0
+    # deterministic across calls (fixed projection)
+    rgb2 = trainer.to_rgb(one_hot_segm(segm, 6))
+    np.testing.assert_array_equal(np.asarray(rgb), np.asarray(rgb2))

@@ -205,6 +205,7 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
                 loss_type=_get(opt, "loss_type", "reweighted_elbo"),
                 mask_schedule=_get(opt, "mask_schedule", "random"),
                 sample_steps=_get(opt, "sample_steps", 256),
+                time_sampling=_get(opt, "time_sampling", "uniform"),
             ),
         )
 

@@ -248,6 +248,17 @@ class TrainLoop:
             Image.fromarray(pair).save(
                 osp.join(vis_dir, f"epoch{epoch}_segm_recon.png")
             )
+            # the reference's random-projection colorize view
+            # (models/vqgan_model.py:173-174,194-197)
+            from text2human_tpu.ops.nn import one_hot_segm
+
+            oh = one_hot_segm(b["segm"][:1], t.cfg.num_segm_classes)
+            oh_rec = one_hot_segm(jnp.asarray(rec[:1]), t.cfg.num_segm_classes)
+            rgb = jnp.concatenate(
+                [t.to_rgb(oh)[0], t.to_rgb(oh_rec)[0]], axis=1
+            )
+            put(osp.join(vis_dir, f"epoch{epoch}_segm_recon_proj.png"),
+                (rgb + 1) / 2)
         elif mt in ("VQImageModel", "VQImageSegmTextureModel",
                     "HierarchyVQSpatialTextureAwareModel"):
             xrec, _, _ = t.ae_apply(
@@ -443,14 +454,34 @@ def main(argv=None):
                 loop.save_visuals(first, opt["path"]["visualization"], epoch)
             except Exception as e:  # visualization must never kill training
                 logger.warning(f"visualization failed: {e}")
-            score = val.get("accuracy", -val.get("nll_loss", val.get("val/total_loss", 0.0)))
-            if best is None or score > best:
-                best = score
-                save_checkpoint(
-                    osp.join(opt["path"]["models"], str(epoch)),
-                    {"state": loop.state, "epoch": epoch},
+            # checkpoint EVERY val epoch with the epoch in the name (reference
+            # train_vqvae.py:126-128); 'best' additionally tracks the
+            # trainer-declared metric instead of a guessy fallback chain
+            save_checkpoint(
+                osp.join(opt["path"]["models"], str(epoch)),
+                {"state": loop.state, "epoch": epoch},
+            )
+            metric_name, metric_mode = getattr(trainer, "val_metric", ("loss", "min"))
+            score = val.get(metric_name)
+            if score is None:
+                logger.warning(
+                    f"val metric {metric_name!r} missing from {sorted(val)}; "
+                    "best-checkpoint tracking skipped this epoch"
                 )
-                logger.info(f"saved best checkpoint at epoch {epoch}")
+            else:
+                score = float(score)
+                better = best is None or (
+                    score > best if metric_mode == "max" else score < best
+                )
+                if better:
+                    best = score
+                    save_checkpoint(
+                        osp.join(opt["path"]["models"], "best"),
+                        {"state": loop.state, "epoch": epoch},
+                    )
+                    logger.info(
+                        f"new best {metric_name}={score:.6g} at epoch {epoch}"
+                    )
 
     save_checkpoint(
         osp.join(opt["path"]["models"], "final"),

@@ -46,6 +46,54 @@ def sample_time(key: jax.Array, batch: int, num_timesteps: int) -> Tuple[jax.Arr
     return t, pt
 
 
+def init_importance_state(num_timesteps: int) -> dict:
+    """Lt history buffers for importance time-sampling (size T+1, index by t)."""
+    return {
+        "lt_history": jnp.zeros(num_timesteps + 1, jnp.float32),
+        "lt_count": jnp.zeros(num_timesteps + 1, jnp.int32),
+    }
+
+
+def sample_time_importance(
+    key: jax.Array, batch: int, num_timesteps: int, imp_state: dict
+) -> Tuple[jax.Array, jax.Array]:
+    """Importance time-sampling (reference transformer_model.py:188-199).
+
+    The reference's 'importance' branch reads ``Lt_history``/``Lt_count``
+    buffers it never registers or updates (vestigial code inherited from
+    unleashing-transformers); this is the working mechanism from that
+    lineage: an EMA history of squared per-t vb-losses, with
+    ``pt ∝ sqrt(E[L_t^2]) + 1e-4`` once every timestep has >= 10
+    observations and uniform sampling before.  t stays in [1, T] (the
+    reference's index-0 "decoder term" is excluded — the train loss divides
+    by t), implemented branch-free for jit.
+    """
+    lt_history = imp_state["lt_history"]
+    lt_count = imp_state["lt_count"]
+    ready = jnp.all(lt_count[1:] > 10)
+    lt_sqrt = jnp.sqrt(lt_history + 1e-10) + 1e-4  # :193
+    lt_sqrt = lt_sqrt.at[0].set(0.0)  # exclude t=0 (cf. :194)
+    pt_all = lt_sqrt / jnp.sum(lt_sqrt)
+    ukey, ikey = jax.random.split(key)
+    t_imp = jax.random.categorical(
+        ikey, jnp.log(pt_all + 1e-20), shape=(batch,)
+    ).astype(jnp.int32)
+    pt_imp = pt_all[t_imp]
+    t_uni, pt_uni = sample_time(ukey, batch, num_timesteps)
+    t = jnp.where(ready, t_imp, t_uni).astype(jnp.int32)
+    pt = jnp.where(ready, pt_imp, pt_uni)
+    return t, pt
+
+
+def update_importance_state(imp_state: dict, t: jax.Array, vb_per_sample: jax.Array) -> dict:
+    """EMA the squared vb-loss into the per-t history and bump the counts."""
+    lt2 = jax.lax.stop_gradient(vb_per_sample.astype(jnp.float32)) ** 2
+    hist = imp_state["lt_history"]
+    new_hist = hist.at[t].set(0.1 * lt2 + 0.9 * hist[t])
+    new_count = imp_state["lt_count"].at[t].add(1)
+    return {"lt_history": new_hist, "lt_count": new_count}
+
+
 def q_sample(
     key: jax.Array, x0: jax.Array, t: jax.Array, num_timesteps: int, mask_id: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -63,12 +111,16 @@ def train_loss(
     x0_cont: jax.Array,
     gt_local: jax.Array,
     texture_tokens: jax.Array,
+    imp_state: dict = None,
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Reweighted-ELBO masked-CE loss (transformer_model.py:232-274).
 
     x0_cont:       [B, T] continual indices (local + 1024*codebook).
     gt_local:      [B, T] per-position local index within the active codebook.
     texture_tokens:[B, T] active codebook ids.
+    imp_state:     optional Lt buffers (init_importance_state) — switches
+                   time sampling to 'importance' and returns the updated
+                   buffers in the aux dict under 'imp_state'.
 
     The reference sums CE over 18 heads with -1-ignore; exactly one head is
     active per position, so this equals CE of the texture-selected head over
@@ -76,7 +128,10 @@ def train_loss(
     """
     b = x0_cont.shape[0]
     t_key, mask_key = jax.random.split(key)
-    t, pt = sample_time(t_key, b, diffusion.num_timesteps)
+    if imp_state is not None:
+        t, pt = sample_time_importance(t_key, b, diffusion.num_timesteps, imp_state)
+    else:
+        t, pt = sample_time(t_key, b, diffusion.num_timesteps)
     if diffusion.mask_schedule != "random":
         raise NotImplementedError(diffusion.mask_schedule)
     x_t, mask = q_sample(mask_key, x0_cont, t, diffusion.num_timesteps, diffusion.mask_id)
@@ -108,7 +163,10 @@ def train_loss(
     else:
         raise ValueError(diffusion.loss_type)
 
-    return loss.mean(), vb_loss.mean(), {"masked_frac": mask.mean()}
+    aux = {"masked_frac": mask.mean()}
+    if imp_state is not None:
+        aux["imp_state"] = update_importance_state(imp_state, t, vb_loss)
+    return loss.mean(), vb_loss.mean(), aux
 
 
 def sample_loop(

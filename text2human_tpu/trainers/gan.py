@@ -70,6 +70,9 @@ class GANTrainer:
     ``gen_mask`` optionally restricts which gen params receive updates
     (implements the reference's requires_grad selections).
     """
+    # best-checkpoint selection metric (reference train_vqvae.py:107-125
+    # tracks the lowest validation loss)
+    val_metric = ("nll_loss", "min")
 
     def __init__(
         self,

@@ -34,6 +34,9 @@ class IndexPredTrainConfig:
 
 
 class IndexPredTrainer:
+    # reference train_index_prediction.py:107-125 tracks the best accuracy
+    val_metric = ("accuracy", "max")
+
     def __init__(
         self,
         unet_cfg: UNetConfig,

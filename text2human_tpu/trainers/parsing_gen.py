@@ -25,6 +25,9 @@ class ParsingGenTrainConfig:
 
 
 class ParsingGenTrainer:
+    # reference train_parsing_gen.py:110-128 tracks the best accuracy
+    val_metric = ("accuracy", "max")
+
     def __init__(
         self,
         attr_cfg: ShapeAttrConfig,

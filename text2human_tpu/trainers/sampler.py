@@ -23,6 +23,7 @@ from text2human_tpu.config import (
 )
 from text2human_tpu.diffusion.absorbing import (
     AbsorbingDiffusion,
+    init_importance_state,
     sample_loop,
     train_loss,
 )
@@ -40,9 +41,15 @@ class SamplerTrainConfig:
     mask_schedule: str = "random"
     sample_steps: int = 256
     num_timesteps: int = 1000
+    # 'uniform' (reference default) or 'importance' (Lt-history reweighted
+    # time sampling, reference transformer_model.py:188-199)
+    time_sampling: str = "uniform"
 
 
 class SamplerTrainer:
+    # reference train_sampler.py:107-118 tracks the lowest validation loss
+    val_metric = ("loss", "min")
+
     def __init__(
         self,
         tf_cfg: TransformerConfig,
@@ -107,10 +114,16 @@ class SamplerTrainer:
         t = self.tf_cfg.block_size
         dummy = jnp.zeros((1, t), jnp.int32)
         params = self.denoiser.init(key, dummy, dummy, dummy)["params"]
+        extra = (
+            init_importance_state(self.cfg.num_timesteps)
+            if self.cfg.time_sampling == "importance"
+            else None
+        )
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.tx.init(params),
+            extra=extra,
         )
 
     def _train_step(self, state: TrainState, tokens: Dict[str, jax.Array], key):
@@ -135,11 +148,13 @@ class SamplerTrainer:
                 tokens["x0_cont"],
                 tokens["gt_local"],
                 tokens["texture_tokens"],
+                imp_state=state.extra,
             )
             return loss, {"loss": loss, "vb_loss": vb, **aux}
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(self.tx, grads)
+        new_extra = metrics.pop("imp_state", state.extra)
+        state = state.apply_gradients(self.tx, grads, extra=new_extra)
         return state, metrics
 
     def train_step(self, state, tokens, key):

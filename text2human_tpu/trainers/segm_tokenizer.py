@@ -27,6 +27,9 @@ class SegmTokenizerConfig:
 
 
 class SegmTokenizerTrainer:
+    # reference train_parsing_token.py:100-112 tracks the lowest total loss
+    val_metric = ("val/total_loss", "min")
+
     def __init__(
         self,
         model_cfg: VQGANConfig,
@@ -77,3 +80,17 @@ class SegmTokenizerTrainer:
         x = one_hot_segm(segm, self.cfg.num_segm_classes)
         rec, _ = self.model.apply({"params": params}, x)
         return jnp.argmax(rec, axis=-1)
+
+    def to_rgb(self, x: jax.Array) -> jax.Array:
+        """Random-projection colorize for visualization (reference
+        models/vqgan_model.py:173-174,194-197): a fixed random [C]->[3]
+        projection of the one-hot/logit map, min-max normalized to [-1, 1].
+
+        x: [N, H, W, C] -> [N, H, W, 3].
+        """
+        proj = jax.random.normal(
+            jax.random.key(0), (self.cfg.num_segm_classes, 3)
+        )
+        rgb = jnp.einsum("nhwc,cd->nhwd", x.astype(jnp.float32), proj)
+        lo, hi = jnp.min(rgb), jnp.max(rgb)
+        return 2.0 * (rgb - lo) / jnp.maximum(hi - lo, 1e-8) - 1.0

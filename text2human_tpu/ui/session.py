@@ -67,6 +67,9 @@ class InteractiveSession:
         self.shape_attr: Optional[jnp.ndarray] = None
         self.segm: Optional[np.ndarray] = None
         self.texture_attrs: Optional[List[int]] = None
+        # per-stroke history for undo (reference ui/mouse_event.py:36-129
+        # keeps the stroke list and pops on undo)
+        self._history: List[np.ndarray] = []
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -88,14 +91,17 @@ class InteractiveSession:
         self.shape_attr = jnp.asarray([attrs], jnp.int32)
         segm = self.pipe.generate_parsing(self.params, self.pose, self.shape_attr)
         self.segm = np.array(segm[0])  # writable copy for brush edits
+        self._history.clear()  # fresh parsing map -> fresh stroke history
         return segm_to_palette(self.segm)
 
     # -- step 3: brush edits (ui_demo.py:136-147 stroke replay)
 
     def paint(self, cls_id: int, coords: Sequence[Tuple[int, int]], brush: int = 3):
         """Paint ``cls_id`` at (y, x) centers with a square brush, like the
-        demo's per-class stroke replay."""
+        demo's per-class stroke replay.  Each call is one stroke and is
+        undoable with :meth:`undo`."""
         assert self.segm is not None, "generate_parsing first"
+        self._history.append(self.segm.copy())
         h, w = self.segm.shape
         r = brush // 2
         for y, x in coords:
@@ -103,8 +109,19 @@ class InteractiveSession:
             x0, x1 = max(0, x - r), min(w, x + r + 1)
             self.segm[y0:y1, x0:x1] = cls_id
 
+    def undo(self) -> bool:
+        """Revert the most recent stroke / parsing replacement (reference
+        GraphicsScene.undo, ui/mouse_event.py:90-129).  Returns False when
+        there is nothing to undo."""
+        if not self._history:
+            return False
+        self.segm = self._history.pop()
+        return True
+
     def set_parsing_rgb(self, rgb: np.ndarray):
-        """Replace the parsing map from an edited palette image."""
+        """Replace the parsing map from an edited palette image (undoable)."""
+        if self.segm is not None:
+            self._history.append(self.segm.copy())
         self.segm = palette_to_segm(rgb)
 
     # -- step 4: texture text -> image (ui_demo.py:154-179)

@@ -39,16 +39,31 @@ class RunningMoments:
         return mu, cov
 
 
+def _psd_sqrt(mat: np.ndarray) -> np.ndarray:
+    """Symmetric PSD square root via eigh (eigenvalues clamped at 0)."""
+    w, v = np.linalg.eigh((mat + mat.T) / 2.0)
+    w = np.maximum(w, 0.0)
+    return (v * np.sqrt(w)) @ v.T
+
+
 def frechet_distance(
     mu1: np.ndarray, cov1: np.ndarray, mu2: np.ndarray, cov2: np.ndarray
 ) -> float:
-    """||mu1-mu2||^2 + tr(cov1 + cov2 - 2 (cov1 cov2)^(1/2))."""
-    diff = mu1 - mu2
-    # sqrtm via eigendecomposition of the symmetrized product
-    prod = cov1 @ cov2
-    eigvals = np.linalg.eigvals(prod)
-    covmean_trace = np.sum(np.sqrt(np.maximum(eigvals.real, 0.0)))
-    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * covmean_trace)
+    """||mu1-mu2||^2 + tr(cov1 + cov2 - 2 (cov1 cov2)^(1/2)).
+
+    tr((C1 C2)^(1/2)) is computed as tr((C1^(1/2) C2 C1^(1/2))^(1/2)) — the
+    inner matrix is symmetric PSD, so eigh is numerically robust even for the
+    near-singular covariances of small eval sets (the earlier
+    eigvals-of-the-nonsymmetric-product form could report distorted values
+    there)."""
+    diff = np.asarray(mu1) - np.asarray(mu2)
+    s1 = _psd_sqrt(np.asarray(cov1, np.float64))
+    inner = s1 @ np.asarray(cov2, np.float64) @ s1
+    w = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+    covmean_trace = np.sum(np.sqrt(np.maximum(w, 0.0)))
+    return float(
+        diff @ diff + np.trace(cov1) + np.trace(cov2) - 2.0 * covmean_trace
+    )
 
 
 def vgg_feature_extractor(lpips_module, lpips_vars) -> Callable:
