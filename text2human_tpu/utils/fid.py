@@ -83,6 +83,23 @@ def vgg_feature_extractor(lpips_module, lpips_vars) -> Callable:
     return extract
 
 
+def inception_extractor_from_torch(path: str) -> Callable:
+    """Standard-FID extractor from a torchvision ``inception_v3`` (or
+    pt_inception FID) checkpoint on disk."""
+    import torch
+
+    from text2human_tpu.models.inception import (
+        inception_feature_extractor,
+        inception_params_from_torch,
+    )
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    variables = jax.tree.map(jnp.asarray, inception_params_from_torch(sd))
+    return inception_feature_extractor(variables)
+
+
 def compute_fid(
     real_batches: Iterable[np.ndarray],
     fake_batches: Iterable[np.ndarray],
