@@ -118,6 +118,11 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent XLA cache: warm process starts compile in seconds
+    # instead of minutes (VERDICT round-1 item #9)
+    from text2human_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     opt = parse(args.opt, is_train=False)
     make_exp_dirs(opt)
     save_dir = opt["path"]["visualization"]

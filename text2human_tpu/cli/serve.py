@@ -128,6 +128,12 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent XLA cache: warm process starts compile in seconds
+    # instead of minutes (VERDICT round-1 item #9)
+    from text2human_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from text2human_tpu.config import parse
 
     opt = parse(args.opt, is_train=False)

@@ -350,6 +350,12 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # persistent XLA cache: warm restarts (and preemption recovery) skip the
+    # minutes-long cold compile
+    from text2human_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
     opt = parse(args.opt, is_train=True)
     make_exp_dirs(opt)
     logger = get_root_logger(

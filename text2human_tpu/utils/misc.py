@@ -97,3 +97,26 @@ class ProgressBar:
                 f"\rcompleted {self.completed} ({fps:.1f} it/s) {msg}"
             )
         self._out.flush()
+
+
+def enable_compilation_cache(cache_dir: str = ""):
+    """Turn on JAX's persistent compilation cache for fast warm starts.
+
+    The full serving pipeline costs 1-2 minutes of XLA compilation cold; with
+    the cache a second process start compiles in seconds (BENCHMARKS.md
+    "Serving cold start").  Directory precedence: explicit arg >
+    $T2H_COMPILE_CACHE > ~/.cache/text2human_tpu/xla.
+    """
+    import jax
+
+    path = (
+        cache_dir
+        or os.environ.get("T2H_COMPILE_CACHE")
+        or os.path.join(
+            os.path.expanduser("~"), ".cache", "text2human_tpu", "xla"
+        )
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
