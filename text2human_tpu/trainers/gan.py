@@ -136,10 +136,16 @@ class GANTrainer:
         )
         xrec, qloss, a_pre = xrec_tuple
 
-        def heads(xr):
+        # separate VJPs for the two loss heads so each backward traverses
+        # only its own branch (one joint head would run the LPIPS *and* disc
+        # backwards per cotangent — zero cotangents don't DCE at runtime)
+        def nll_head(xr):
             recon = jnp.abs(x - xr)
             p = self.lpips.apply(self.lpips_vars, x, xr)
             nll = jnp.mean(recon + cfg.perceptual_weight * p)
+            return nll, {"l1": jnp.mean(recon), "perceptual": jnp.mean(p)}
+
+        def g_head(xr):
             xr_in = (
                 diff_augment(aug_key, xr, cfg.policy) if cfg.diff_aug else xr
             )
@@ -149,17 +155,14 @@ class GANTrainer:
                 train=True,
                 mutable=["batch_stats"],
             )
-            g = -jnp.mean(logits_fake)
-            return (nll, g), {
-                "l1": jnp.mean(recon),
-                "perceptual": jnp.mean(p),
-            }
+            return -jnp.mean(logits_fake)
 
-        (nll, g_loss), head_vjp, aux = jax.vjp(heads, xrec, has_aux=True)
+        nll, nll_vjp, aux = jax.vjp(nll_head, xrec, has_aux=True)
+        g_loss, g_vjp = jax.vjp(g_head, xrec)
+        (d_nll_dx,) = nll_vjp(jnp.ones(()))
+        (d_g_dx,) = g_vjp(jnp.ones(()))
 
         if cfg.adaptive_weight:
-            (d_nll_dx,) = head_vjp((jnp.ones(()), jnp.zeros(())))
-            (d_g_dx,) = head_vjp((jnp.zeros(()), jnp.ones(())))
             w = self._get_conv_out(gen_params)
             a_sg = jax.lax.stop_gradient(a_pre)
             _, conv_vjp = jax.vjp(
@@ -179,7 +182,9 @@ class GANTrainer:
         else:
             d_weight = jnp.asarray(cfg.disc_weight_max, jnp.float32)
             d_weight = d_weight * adopt_weight(1.0, step, cfg.disc_start_step)
-            (d_loss_dxrec,) = head_vjp((jnp.ones(()), d_weight))
+            d_loss_dxrec = jax.tree.map(
+                lambda a, b: a + d_weight * b, d_nll_dx, d_g_dx
+            )
 
         loss = nll + d_weight * g_loss + qloss
         (gen_grads,) = ae_vjp(
