@@ -13,6 +13,10 @@ state dicts through utils/torch_import, and asserts forward parity:
   Discriminator                              vqgan_arch.py:1155-1203
   TransformerMultiHead                       transformer_arch.py:184-273
   ShapeAttrEmbedding                         shape_attr_embedding_arch.py:6-35
+  UNet / ShapeUNet                           unet_arch.py:317-500,503-693
+  FCNHead / MultiHeadFCNHead                 fcn_arch.py:159-418
+  (the UNet/FCN files import mmcv/mmseg, absent here — tests/mmcv_stub.py
+  reimplements exactly the API surface they touch)
 
 These tests fail if any converter or module drifts from the reference
 numerics, closing VERDICT round-1 missing item #1.
@@ -392,3 +396,111 @@ def test_golden_shape_attr_embedding(rng):
         lambda p, a: ShapeAttrEmbedding(cfg).apply({"params": p}, a)
     )(params, jnp.asarray(attr))
     assert_close(got, want, 1e-3, "attr embedding")
+
+
+# ---------------------------------------------------------------------------
+# UNet / FCN family (reference unet_arch.py, fcn_arch.py) — loaded with the
+# minimal mmcv/mmseg stub (tests/mmcv_stub.py), which reimplements exactly
+# the mmcv semantics those files use.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def ref_mm(name: str):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from mmcv_stub import install
+
+    install()
+    return ref(name)
+
+
+def _warm_bn(net, make_input, steps=3):
+    """Populate torch BN running stats with a few train-mode forwards."""
+    net.train()
+    with torch.no_grad():
+        for _ in range(steps):
+            net(*make_input())
+    net.eval()
+
+
+def test_golden_parsing_generator_full(rng):
+    """ShapeAttrEmbedding + ShapeUNet + FCNHead at parsing_gen.yml dims vs
+    our ParsingGenerator through convert_parsing_gen."""
+    ua = ref_mm("unet_arch")
+    fa = ref_mm("fcn_arch")
+    sa = ref("shape_attr_embedding_arch")
+    from text2human_tpu.models.composites import ParsingGenerator
+
+    torch.manual_seed(10)
+    embedder = sa.ShapeAttrEmbedding(
+        dim=8, out_dim=128, cls_num_list=list(C.PARSING_GEN_ATTR.cls_num_list)
+    ).eval()
+    encoder = ua.ShapeUNet(in_channels=1)
+    decoder = fa.FCNHead(
+        in_channels=64, in_index=4, channels=64, num_convs=1,
+        concat_input=False, dropout_ratio=0.1, num_classes=24,
+        align_corners=False,
+    )
+
+    h, w = 256, 128  # divisible by the 16x downsample; full channel dims
+    attr = np.stack(
+        [rng.integers(0, n, size=(2,)) for n in C.PARSING_GEN_ATTR.cls_num_list],
+        axis=1,
+    )
+    pose = rng.standard_normal((2, 1, h, w)).astype(np.float32)
+
+    with torch.no_grad():
+        emb = embedder(torch.from_numpy(attr))
+    _warm_bn(encoder, lambda: (torch.randn(2, 1, h, w), emb))
+    _warm_bn(decoder, lambda: ([torch.randn(2, 64, h, w)] * 5,))
+    with torch.no_grad():
+        feats = encoder(torch.from_numpy(pose), emb)
+        want = decoder(feats)
+
+    variables = ti.convert_parsing_gen(
+        {
+            "embedder": embedder.state_dict(),
+            "encoder": encoder.state_dict(),
+            "decoder": decoder.state_dict(),
+        }
+    )
+    model = ParsingGenerator(C.PARSING_GEN_ATTR, C.PARSING_GEN_UNET, C.PARSING_GEN_FCN)
+    got = jax.jit(
+        lambda v, p, a: model.apply(v, p, a)
+    )(variables, jnp.asarray(pose.transpose(0, 2, 3, 1)), jnp.asarray(attr))
+    assert_close(got, nhwc(want), 5e-3, "parsing logits")
+
+
+def test_golden_index_prediction_full(rng):
+    """Guidance UNet + 18-head FCN at index_pred_net.yml dims vs our
+    IndexPredictionNet through convert_index_pred."""
+    ua = ref_mm("unet_arch")
+    fa = ref_mm("fcn_arch")
+    from text2human_tpu.models.composites import IndexPredictionNet
+
+    torch.manual_seed(11)
+    encoder = ua.UNet(in_channels=256)
+    decoder = fa.MultiHeadFCNHead(
+        in_channels=64, in_index=4, channels=64, num_convs=1,
+        concat_input=False, dropout_ratio=0.1, num_classes=512,
+        align_corners=False, num_head=18,
+    )
+
+    feat = rng.standard_normal((1, 256, 32, 16)).astype(np.float32)
+    _warm_bn(encoder, lambda: (torch.randn(1, 256, 32, 16),))
+    _warm_bn(decoder, lambda: ([torch.randn(1, 64, 32, 16)] * 5,))
+    with torch.no_grad():
+        feats = encoder(torch.from_numpy(feat))
+        logits_list = decoder(feats)
+    want = np.stack([nhwc(t) for t in logits_list], axis=3)  # [N,H,W,18,512]
+
+    variables = ti.convert_index_pred(
+        {"guidance_encoder": encoder.state_dict(), "index_decoder": decoder.state_dict()}
+    )
+    model = IndexPredictionNet(C.INDEX_PRED_UNET, C.INDEX_PRED_FCN)
+    got = jax.jit(lambda v, f: model.apply(v, f))(
+        variables, jnp.asarray(feat.transpose(0, 2, 3, 1))
+    )
+    assert_close(got, want, 5e-3, "18-head index logits")
