@@ -198,3 +198,47 @@ def test_transformer_causal_mode():
     out2 = np.asarray(tf.apply(params, idx2, segm, tex))
     np.testing.assert_allclose(out2[:, :-1], base[:, :-1], atol=1e-5)
     assert not np.allclose(out2[:, -1], base[:, -1])
+
+
+def test_causal_mode_is_actually_causal(rng):
+    """Autoregressive mode behavioral check: logits at position i are
+    invariant to tokens at positions > i (round-1 weak #10 — the causal flag
+    was construction-tested only)."""
+    import dataclasses
+
+    from text2human_tpu.config import TransformerConfig
+    from text2human_tpu.models.transformer import TransformerMultiHead
+
+    cfg = TransformerConfig(
+        codebook_size=24, segm_codebook_size=8, texture_codebook_size=2,
+        n_emb=16, n_layers=2, n_head=2, block_size=12, latent_shape=(4, 3),
+        num_output_heads=2, sampler="autoregressive",
+    )
+    model = TransformerMultiHead(cfg)
+    t = cfg.block_size
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, t)), jnp.int32)
+    segm = jnp.asarray(rng.integers(0, 8, (1, t)), jnp.int32)
+    tex = jnp.asarray(rng.integers(0, 2, (1, t)), jnp.int32)
+    params = model.init(jax.random.key(0), tok, tok, tok)["params"]
+
+    base = model.apply({"params": params}, tok, segm, tex)
+    # perturb the future: change the last 4 tokens
+    tok2 = tok.at[:, -4:].set((tok[:, -4:] + 1) % cfg.vocab_size)
+    out2 = model.apply({"params": params}, tok2, segm, tex)
+    cut = t - 4
+    np.testing.assert_allclose(
+        np.asarray(base[:, :cut]), np.asarray(out2[:, :cut]), atol=1e-6,
+        err_msg="future tokens leaked into past positions",
+    )
+    # and the perturbed region does change (mask isn't over-blocking)
+    assert float(np.max(np.abs(np.asarray(base[:, cut:] - out2[:, cut:])))) > 1e-4
+
+    # the bidirectional default must NOT be causal
+    cfg_bi = dataclasses.replace(cfg, sampler="absorbing")
+    model_bi = TransformerMultiHead(cfg_bi)
+    tok_bi = jnp.minimum(tok, cfg_bi.vocab_size - 1)
+    params_bi = model_bi.init(jax.random.key(0), tok_bi, tok_bi, tok_bi)["params"]
+    b1 = model_bi.apply({"params": params_bi}, tok_bi, segm, tex)
+    tok_bi2 = tok_bi.at[:, -1:].set((tok_bi[:, -1:] + 1) % cfg_bi.vocab_size)
+    b2 = model_bi.apply({"params": params_bi}, tok_bi2, segm, tex)
+    assert float(np.max(np.abs(np.asarray(b1[:, 0] - b2[:, 0])))) > 1e-6

@@ -131,6 +131,16 @@ def resolve_lpips_vars(opt: Dict[str, Any]) -> Optional[Any]:
     )
 
 
+def _discriminator(opt: Dict[str, Any]):
+    """PatchGAN from the YAML's ndf/disc_layers keys
+    (reference configs/vqvae_top.yml:33-38)."""
+    from text2human_tpu.models.vqgan import Discriminator
+
+    return Discriminator(
+        ndf=_get(opt, "ndf", 64), n_layers=_get(opt, "disc_layers", 3)
+    )
+
+
 def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
     """model_type string -> trainer instance (≙ create_model)."""
     model_type = opt["model_type"]
@@ -161,6 +171,7 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
             ),
             gan_cfg(opt),
             lpips_vars=lpips_vars,
+            disc=_discriminator(opt),
         )
 
     if model_type == "HierarchyVQSpatialTextureAwareModel":
@@ -181,6 +192,7 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
             gan_cfg(opt),
             fix_decoder=bool(opt.get("fix_decoder")),
             lpips_vars=lpips_vars,
+            disc=_discriminator(opt),
             sample_shape=(1, vqgan_cfg(opt, "top_").resolution,
                           vqgan_cfg(opt, "top_").resolution // 2, 3),
         )
@@ -211,7 +223,7 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
 
     if model_type == "VQGANTextureAwareSpatialHierarchyInferenceModel":
         return IndexPredTrainer(
-            UNetConfig(in_channels=_get(opt, "encoder_in_channels", 256)),
+            _unet_cfg_opt(opt, "encoder_in_channels", 256, ""),
             FCNHeadConfig(
                 in_channels=_get(opt, "fc_in_channels", 64),
                 channels=_get(opt, "fc_channels", 64),
