@@ -50,7 +50,16 @@ def _read_attr_file(path: str) -> Tuple[List[str], List[List[int]]]:
     return names, attrs
 
 
+def _use_native_loader() -> bool:
+    return os.environ.get("T2H_NATIVE_LOADER", "") not in ("", "0", "false")
+
+
 def _load_resized(path: str, downsample: int, resample) -> np.ndarray:
+    if _use_native_loader():
+        from text2human_tpu.data import native_loader as nl
+
+        filt = nl.LANCZOS if resample == Image.LANCZOS else nl.NEAREST
+        return nl.decode_image(path, downsample=downsample, filter=filt)
     with open(path, "rb") as f:
         img = Image.open(f)
         if downsample != 1:
