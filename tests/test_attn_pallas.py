@@ -83,3 +83,20 @@ def test_flash_causal_raises(rng):
     mod = SelfAttention(n_head=2, flash=True, causal=True)
     with pytest.raises(ValueError, match="non-causal"):
         mod.init(jax.random.key(0), x)
+
+
+def test_fused_attention_btc_block_heads(rng):
+    """Partial-head grid blocks (2 heads x 64 dims = 128 lanes) match the
+    all-heads default.  (Measured on v5e: all-heads per batch element is the
+    fastest config at every batch size; the knob exists for tuning.)"""
+    b, t, n_head, d = 2, 128, 4, 64
+    c = n_head * d
+    q = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    full = fused_attention_btc(q, k, v, n_head=n_head, sm_scale=scale, interpret=True)
+    split = fused_attention_btc(
+        q, k, v, n_head=n_head, sm_scale=scale, block_heads=2, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(split), np.asarray(full), atol=1e-6)

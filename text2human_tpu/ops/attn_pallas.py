@@ -54,26 +54,42 @@ def _attn_kernel_btc(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, n_head: int
         o_ref[0, :, cols] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_head", "sm_scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_head", "sm_scale", "block_heads", "interpret")
+)
 def fused_attention_btc(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     n_head: int,
     sm_scale: float,
+    block_heads: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Like :func:`fused_attention` but takes/returns the packed [B, T, C]
     layout (C = n_head * head_dim) the trunk's dense layers already produce,
-    so no transpose or reshape copies are materialized.  One grid step per
-    batch element with an unrolled in-kernel head loop (Mosaic requires the
-    trailing two block axes whole)."""
+    so no transpose or reshape copies are materialized.
+
+    ``block_heads`` heads are processed per grid step (their packed column
+    width must satisfy Mosaic's lane constraint: a multiple of 128 or the
+    whole C); smaller blocks give more grid steps to pipeline at small
+    batch.  0 picks all heads (one grid step per batch element).
+    """
     b, t, c = q.shape
-    spec = pl.BlockSpec((1, t, c), lambda ib: (ib, 0, 0), memory_space=pltpu.VMEM)
+    d = c // n_head
+    if block_heads <= 0 or (block_heads * d) % 128 != 0:
+        block_heads = n_head
+    n_blocks = n_head // block_heads
+    bc = block_heads * d
+    spec = pl.BlockSpec(
+        (1, t, bc), lambda ib, ih: (ib, 0, ih), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
-        functools.partial(_attn_kernel_btc, sm_scale=sm_scale, n_head=n_head),
+        functools.partial(
+            _attn_kernel_btc, sm_scale=sm_scale, n_head=block_heads
+        ),
         out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
-        grid=(b,),
+        grid=(b, n_blocks),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         cost_estimate=pl.CostEstimate(
