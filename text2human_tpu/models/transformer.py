@@ -63,7 +63,9 @@ class SelfAttention(nn.Module):
             # ops/attn_pallas.py). Consumes the dense layers' packed [B,T,C]
             # output directly, so no transpose/reshape copies. Interpreted
             # off-TPU so CPU tests exercise the same code path.
-            from text2human_tpu.ops.attn_pallas import fused_attention_btc
+            from text2human_tpu.ops.attn_pallas import (
+                fused_attention_btc_trainable as fused_attention_btc,
+            )
 
             y = fused_attention_btc(
                 q,

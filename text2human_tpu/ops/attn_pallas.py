@@ -101,6 +101,111 @@ def fused_attention_btc(
     )(q, k, v)
 
 
+def _attn_bwd_kernel_btc(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+    *, sm_scale: float, n_head: int,
+):
+    """Whole-sequence attention backward per batch element.
+
+    Recomputes each head's probabilities from q/k in VMEM (flash-style — the
+    forward never saved the [T, T] scores to HBM) and emits dq/dk/dv with
+    the standard softmax-attention gradient:
+      dV = P^T dO;  dP = dO V^T;  dS = P*(dP - rowsum(dP*P))*scale;
+      dQ = dS K;    dK = dS^T Q.
+    """
+    d = q_ref.shape[-1] // n_head
+    f32 = jnp.float32
+    for h in range(n_head):
+        cols = slice(h * d, (h + 1) * d)
+        q = q_ref[0, :, cols]
+        k = k_ref[0, :, cols]
+        v = v_ref[0, :, cols]
+        do = do_ref[0, :, cols]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * sm_scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # [T, T] f32
+        p_lo = p.astype(v.dtype)
+        dv = jax.lax.dot_general(
+            p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )  # P^T dO -> [T, D]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )  # dO V^T -> [T, T]
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = (p * (dp - row) * sm_scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )  # dS^T Q
+        dq_ref[0, :, cols] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, cols] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, cols] = dv.astype(dv_ref.dtype)
+
+
+def _attn_bwd_btc(q, k, v, do, n_head: int, sm_scale: float, interpret: bool):
+    b, t, c = q.shape
+    spec = pl.BlockSpec((1, t, c), lambda ib: (ib, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, t, c), q.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel_btc, sm_scale=sm_scale, n_head=n_head
+        ),
+        out_shape=(shape, shape, shape),
+        grid=(b,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * t * t * c,
+            transcendentals=b * n_head * t * t,
+            bytes_accessed=7 * b * t * c * q.dtype.itemsize,
+        ),
+        interpret=interpret,
+    )(q, k, v, do)
+
+
+@functools.lru_cache(maxsize=None)
+def _trainable_attention(n_head: int, sm_scale: float, interpret: bool):
+    """custom_vjp-wrapped fused attention for the training path: forward is
+    the whole-sequence kernel, backward recomputes probabilities in VMEM."""
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return fused_attention_btc(
+            q, k, v, n_head=n_head, sm_scale=sm_scale, interpret=interpret
+        )
+
+    def fwd(q, k, v):
+        return attn(q, k, v), (q, k, v)
+
+    def bwd(res, do):
+        q, k, v = res
+        return _attn_bwd_btc(
+            q, k, v, do.astype(q.dtype), n_head, sm_scale, interpret
+        )
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
+def fused_attention_btc_trainable(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    n_head: int,
+    sm_scale: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable fused attention ([B,T,C] packed layout): the forward
+    kernel plus a VMEM-resident backward (scores never hit HBM in either
+    direction)."""
+    return _trainable_attention(n_head, float(sm_scale), interpret)(q, k, v)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float):
     q = q_ref[0]  # [T, D]
     k = k_ref[0]

@@ -75,6 +75,12 @@ class SamplerTrainer:
             mask_schedule=train_cfg.mask_schedule,
         )
         self.tx = make_optimizer(lr=train_cfg.lr, weight_decay=train_cfg.weight_decay)
+        # fused whole-sequence attention (ops/attn_pallas.py, custom VJP for
+        # the backward): auto on TPU when attention dropout is off (the
+        # kernel has no dropout support; reference configs use 0)
+        self.fused_attn = (
+            jax.default_backend() == "tpu" and tf_cfg.attn_pdrop == 0.0
+        )
         self._tokenize = jax.jit(self._tokenize_impl)
         self._step = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval = jax.jit(self._eval_step)
@@ -138,6 +144,7 @@ class SamplerTrainer:
                     tokens["texture_tokens"],
                     deterministic=False,
                     select_heads=True,
+                    flash=self.fused_attn,
                     rngs={"dropout": drop_key},
                 )
 
@@ -171,6 +178,7 @@ class SamplerTrainer:
                 tokens["segm_tokens"],
                 tokens["texture_tokens"],
                 select_heads=True,
+                flash=self.fused_attn,
             )
 
         loss, vb, _ = train_loss(
@@ -203,6 +211,7 @@ class SamplerTrainer:
             return self.denoiser.apply(
                 {"params": params}, x_t, segm_tokens, texture_tokens,
                 select_heads=True,
+                flash=self.fused_attn,
             )
 
         return sample_loop(key, self.diffusion, denoise, texture_tokens, steps, temp)
