@@ -35,6 +35,13 @@ def main(argv=None):
     exp.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
     exp.add_argument("--out", required=True)
 
+    lp = sub.add_parser("import-lpips",
+                        help="torchvision/lpips .pth -> .npz for lpips_path")
+    lp.add_argument("--weights", required=True,
+                    help=".pth with VGG16 'features.*' (or lpips 'net.slice*') "
+                         "keys + 'lin*.model.1.weight' heads")
+    lp.add_argument("--out", required=True, help="output .npz path")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "import-pipeline":
@@ -69,6 +76,12 @@ def main(argv=None):
         }
         torch.save(torch_ckpt, args.out)
         print(f"wrote reference-layout checkpoint -> {args.out}")
+
+    elif args.cmd == "import-lpips":
+        from text2human_tpu.losses.perceptual import load_lpips_vars, save_lpips_npz
+
+        save_lpips_npz(load_lpips_vars(args.weights), args.out)
+        print(f"wrote LPIPS weights -> {args.out} (use as lpips_path)")
 
 
 if __name__ == "__main__":
