@@ -98,9 +98,16 @@ bool decode_png(FILE* f, Image* out) {
   int bit_depth, color_type;
   png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr, nullptr);
   if (bit_depth == 16) png_set_strip_16(png);
-  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
-  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) {
+    // PIL parity: np.array(Image.open(p)) on a P-mode PNG yields the raw
+    // palette INDICES [H, W], not expanded RGB — segmentation maps are
+    // commonly stored this way, so expanding here would corrupt class ids.
+    if (bit_depth < 8) png_set_packing(png);
+  } else {
+    if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+      png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  }
   png_read_update_info(png, info);
 
   out->h = int(h);
@@ -166,10 +173,8 @@ bool probe_file(const char* path, int* h, int* w, int* c) {
       png_get_IHDR(png, info, &pw, &ph, &bit_depth, &color_type, nullptr, nullptr, nullptr);
       *h = int(ph);
       *w = int(pw);
-      // post-expansion channel count (palette -> RGB, gray stays 1)
-      int ch = png_get_channels(png, info);
-      if (color_type == PNG_COLOR_TYPE_PALETTE) ch = 3;
-      *c = ch;
+      // palette PNGs decode to raw indices (PIL parity), i.e. 1 channel
+      *c = png_get_channels(png, info);
       ok = true;
     }
     if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);

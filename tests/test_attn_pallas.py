@@ -162,3 +162,34 @@ def test_transformer_train_step_with_flash(rng):
         g_flash,
         g_ref,
     )
+
+
+def test_flash_serves_checkpoints_trained_with_attn_dropout(rng):
+    """attn_pdrop > 0 must not block the fused kernel at inference —
+    dropout is a no-op when deterministic (serving a dropout-trained
+    checkpoint through SamplePipeline's auto-flash must work)."""
+    from text2human_tpu.models.transformer import SelfAttention
+
+    x = jnp.asarray(rng.standard_normal((1, 64, 128)).astype(np.float32))
+    mod = SelfAttention(n_head=2, flash=True, attn_pdrop=0.1, deterministic=True)
+    params = mod.init(jax.random.key(0), x)["params"]
+    out = mod.apply({"params": params}, x)
+    assert np.isfinite(np.asarray(out)).all()
+    # training (deterministic=False) still refuses
+    with pytest.raises(ValueError, match="dropout"):
+        SelfAttention(
+            n_head=2, flash=True, attn_pdrop=0.1, deterministic=False
+        ).init(jax.random.key(0), x)
+
+
+def test_block_heads_must_divide_n_head(rng):
+    """A block_heads value that passes the lane check but does not divide
+    n_head must fall back to all-heads (never skip head columns)."""
+    b, t, n_head, d = 1, 32, 3, 128  # block_heads=2 -> 256 lanes OK, 3 % 2 != 0
+    c = n_head * d
+    q = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    out = fused_attention_btc(
+        q, q, q, n_head=n_head, sm_scale=0.1, block_heads=2, interpret=True
+    )
+    want = fused_attention_btc(q, q, q, n_head=n_head, sm_scale=0.1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)

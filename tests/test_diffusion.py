@@ -139,8 +139,20 @@ def test_sampler_trainer_importance_mode(rng):
         n_emb=16, n_layers=1, n_head=2, block_size=16, latent_shape=(4, 4),
         num_output_heads=2,
     )
+    import pytest
+
+    with pytest.raises(ValueError, match="loss_type='elbo'"):
+        SamplerTrainer(
+            cfg,
+            train_cfg=SamplerTrainConfig(
+                time_sampling="importance", num_timesteps=10
+            ),
+        )
     trainer = SamplerTrainer(
-        cfg, train_cfg=SamplerTrainConfig(time_sampling="importance", num_timesteps=10)
+        cfg,
+        train_cfg=SamplerTrainConfig(
+            time_sampling="importance", loss_type="elbo", num_timesteps=10
+        ),
     )
     b, t = 4, cfg.block_size
     c = cfg.head_class_num

@@ -100,3 +100,24 @@ def test_dataset_native_path_matches_pil(tmp_path, monkeypatch, rng):
     assert (
         np.abs(nat_item["image"] - pil_item["image"]).max() <= 2.5 / 127.5
     )
+
+
+def test_palette_png_keeps_indices(tmp_path, rng):
+    """P-mode PNGs must decode to raw palette INDICES like PIL (class maps
+    are commonly stored this way); expanding to RGB would corrupt segm ids."""
+    nl.load_library(rebuild=True)  # pick up source changes within a session
+    ids = rng.integers(0, 24, (16, 12)).astype(np.uint8)
+    img = PIL_Image.fromarray(ids, mode="P")
+    img.putpalette([v for i in range(256) for v in (i, 0, 255 - i)])
+    path = tmp_path / "pal.png"
+    img.save(path)
+
+    want = np.array(PIL_Image.open(path))
+    assert want.ndim == 2  # PIL returns indices
+    got = nl.decode_image(str(path))
+    np.testing.assert_array_equal(got, want)
+    assert nl.image_size(str(path))[2] == 1
+    # and downsampled with NEAREST like a mask
+    got2 = nl.decode_image(str(path), downsample=2, filter=nl.NEAREST)
+    want2 = np.array(PIL_Image.open(path).resize((6, 8), PIL_Image.NEAREST))
+    np.testing.assert_array_equal(got2, want2)

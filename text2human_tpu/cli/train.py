@@ -413,9 +413,20 @@ def main(argv=None):
 
         resume_path = latest_checkpoint(opt["path"]["models"])
         if resume_path:
-            restored = load_checkpoint(
-                resume_path, target={"state": loop.state, "epoch": 0}
-            )
+            try:
+                restored = load_checkpoint(
+                    resume_path,
+                    target={"state": loop.state, "epoch": 0, "best": 0.0},
+                )
+                # restore the best-metric watermark so a post-resume val epoch
+                # cannot overwrite models/best with a worse model (NaN = no
+                # best recorded yet)
+                restored_best = float(restored.get("best", float("nan")))
+                best = None if np.isnan(restored_best) else restored_best
+            except Exception:  # checkpoints from before the 'best' field
+                restored = load_checkpoint(
+                    resume_path, target={"state": loop.state, "epoch": 0}
+                )
             loop.state = restored["state"]
             start_epoch = int(restored["epoch"]) + 1
             current_iter = int(jax.device_get(loop.state.step))
@@ -465,7 +476,8 @@ def main(argv=None):
             # trainer-declared metric instead of a guessy fallback chain
             save_checkpoint(
                 osp.join(opt["path"]["models"], str(epoch)),
-                {"state": loop.state, "epoch": epoch},
+                {"state": loop.state, "epoch": epoch,
+                 "best": float("nan") if best is None else best},
             )
             metric_name, metric_mode = getattr(trainer, "val_metric", ("loss", "min"))
             score = val.get(metric_name)
@@ -483,7 +495,13 @@ def main(argv=None):
                     best = score
                     save_checkpoint(
                         osp.join(opt["path"]["models"], "best"),
-                        {"state": loop.state, "epoch": epoch},
+                        {"state": loop.state, "epoch": epoch, "best": best},
+                    )
+                    # re-stamp the epoch checkpoint with the new watermark so
+                    # a resume from it cannot regress models/best
+                    save_checkpoint(
+                        osp.join(opt["path"]["models"], str(epoch)),
+                        {"state": loop.state, "epoch": epoch, "best": best},
                     )
                     logger.info(
                         f"new best {metric_name}={score:.6g} at epoch {epoch}"
@@ -491,7 +509,8 @@ def main(argv=None):
 
     save_checkpoint(
         osp.join(opt["path"]["models"], "final"),
-        {"state": loop.state, "epoch": num_epochs - 1},
+        {"state": loop.state, "epoch": num_epochs - 1,
+         "best": float("nan") if best is None else best},
     )
     logger.info("training done")
 

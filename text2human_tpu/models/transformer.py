@@ -47,10 +47,13 @@ class SelfAttention(nn.Module):
         k = dense(c, name="key")(x)
         v = dense(c, name="value")(x)
 
-        if self.flash and self.attn_pdrop > 0.0:
+        if self.flash and self.attn_pdrop > 0.0 and not self.deterministic:
+            # dropout is a no-op at inference (deterministic=True), so a
+            # checkpoint trained with attn_pdrop > 0 can still be SERVED
+            # through the fused kernel — only training must fall back
             raise ValueError(
                 "flash attention has no dropout support; set attn_pdrop=0 "
-                "or disable flash"
+                "or disable flash for training"
             )
         if self.flash and self.causal:
             raise ValueError(

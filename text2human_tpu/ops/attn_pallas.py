@@ -77,7 +77,11 @@ def fused_attention_btc(
     """
     b, t, c = q.shape
     d = c // n_head
-    if block_heads <= 0 or (block_heads * d) % 128 != 0:
+    if (
+        block_heads <= 0
+        or (block_heads * d) % 128 != 0  # Mosaic lane constraint
+        or n_head % block_heads != 0  # partial last block would skip heads
+    ):
         block_heads = n_head
     n_blocks = n_head // block_heads
     bc = block_heads * d

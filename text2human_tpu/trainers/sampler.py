@@ -62,6 +62,15 @@ class SamplerTrainer:
     ):
         self.tf_cfg = tf_cfg
         self.cfg = train_cfg
+        if train_cfg.time_sampling == "importance" and train_cfg.loss_type != "elbo":
+            # only the ELBO objective divides by pt; importance-sampling t
+            # under mlm/reweighted_elbo would silently bias the gradient
+            # toward high-loss timesteps
+            raise ValueError(
+                "time_sampling='importance' requires loss_type='elbo' "
+                f"(got {train_cfg.loss_type!r}); the other objectives carry "
+                "no 1/pt importance correction"
+            )
         self.denoiser = TransformerMultiHead(tf_cfg, dtype=dtype)
         # frozen tokenizers are optional: callers may feed pre-tokenized data
         self.img_vq = TextureVQGAN(img_cfg, img_quant) if img_cfg else None

@@ -116,7 +116,15 @@ def enable_compilation_cache(cache_dir: str = ""):
             os.path.expanduser("~"), ".cache", "text2human_tpu", "xla"
         )
     )
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError as e:  # read-only HOME etc. — a cache must never abort a run
+        import logging
+
+        logging.getLogger("base").warning(
+            "compilation cache disabled (%s: %s)", path, e
+        )
+        return ""
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return path
