@@ -107,3 +107,29 @@ def test_frechet_matches_scipy_sqrtm(rng):
         want = textbook(mu1, cov1, mu2, cov2)
         assert got == pytest.approx(want, rel=1e-6, abs=1e-8)
         assert got >= 0.0
+
+
+def test_evaluate_cli_fid(tmp_path, rng, capsys):
+    """cli/evaluate.py computes a Frechet distance between two image dirs
+    (VGG fallback) and separates identical from shifted distributions."""
+    from PIL import Image
+
+    from text2human_tpu.cli.evaluate import main as eval_main
+
+    real, same, diff = tmp_path / "real", tmp_path / "same", tmp_path / "diff"
+    for d in (real, same, diff):
+        d.mkdir()
+    for i in range(6):
+        base = rng.uniform(0.3, 0.7, (32, 16, 3))
+        Image.fromarray((base * 255).astype(np.uint8)).save(real / f"{i}.png")
+        base2 = rng.uniform(0.3, 0.7, (32, 16, 3))
+        Image.fromarray((base2 * 255).astype(np.uint8)).save(same / f"{i}.png")
+        shifted = rng.uniform(0.0, 1.0, (32, 16, 3))
+        Image.fromarray((shifted * 255).astype(np.uint8)).save(diff / f"{i}.png")
+
+    common = ["fid", "--batch", "3", "--size", "32", "16", "--cpu"]
+    v_same = eval_main(common + ["--real", str(real), "--fake", str(same)])
+    v_diff = eval_main(common + ["--real", str(real), "--fake", str(diff)])
+    assert v_diff > v_same >= 0.0
+    out = capsys.readouterr().out
+    assert "Frechet distance" in out and "NOT standard FID" in out

@@ -169,3 +169,63 @@ def test_sampler_trainer_importance_mode(rng):
     state, metrics = trainer.train_step(state, tokens, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.extra["lt_count"].sum()) == b  # one observation per sample
+
+
+def test_train_loss_matches_torch_replica(rng):
+    """Our single-gather masked-CE equals the reference's 18-head CE sum with
+    ignore_index=-1 plus the /t /pt reweighting (transformer_model.py:249-274),
+    replicated in torch on identical inputs."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import math as _math
+
+    from text2human_tpu.diffusion.absorbing import AbsorbingDiffusion, train_loss
+
+    K, C, T_len, b = 3, 8, 16, 4
+    num_t = 10
+    diff = AbsorbingDiffusion(
+        num_timesteps=num_t, mask_id=K * C, num_tokens=T_len,
+        n_embed_per_head=C, loss_type="reweighted_elbo",
+    )
+    tex = rng.integers(0, K, (b, T_len))
+    local = rng.integers(0, C, (b, T_len))
+    x0_cont = jnp.asarray(local + C * tex, jnp.int32)
+    logits = rng.standard_normal((b, T_len, K, C)).astype(np.float32)
+
+    # fixed denoiser output; capture the masking our loss actually drew
+    loss, vb, _ = train_loss(
+        jax.random.key(3), diff, lambda x_t: jnp.asarray(logits),
+        x0_cont, jnp.asarray(local), jnp.asarray(tex),
+    )
+
+    # reproduce t and the mask exactly as train_loss derives them from key(3)
+    from text2human_tpu.diffusion.absorbing import q_sample, sample_time
+
+    t_key, mask_key = jax.random.split(jax.random.key(3))
+    t, pt = sample_time(t_key, b, num_t)
+    _, mask = q_sample(mask_key, x0_cont, t, num_t, diff.mask_id)
+    t_np, pt_np, mask_np = map(np.asarray, (t, pt, mask))
+
+    # torch replica: per-codebook gt lists with -1 outside mask&codebook
+    # (reference q_sample + 18-head CE sum)
+    ce_total = torch.zeros(b)
+    for k in range(K):
+        gt = np.where(mask_np & (tex == k), local, -1)
+        ce = torch.nn.functional.cross_entropy(
+            torch.from_numpy(logits[:, :, k]).permute(0, 2, 1),
+            torch.from_numpy(gt),
+            ignore_index=-1,
+            reduction="none",
+        ).sum(1)
+        ce_total += ce
+    vb_torch = ce_total / torch.from_numpy(t_np.astype(np.float32))
+    vb_torch = vb_torch / torch.from_numpy(pt_np)
+    vb_torch = vb_torch / (_math.log(2) * T_len)
+    weight = 1.0 - t_np.astype(np.float32) / num_t
+    loss_torch = (
+        torch.from_numpy(weight) * ce_total / (_math.log(2) * T_len)
+    ).mean()
+
+    np.testing.assert_allclose(float(vb), float(vb_torch.mean()), rtol=1e-5)
+    np.testing.assert_allclose(float(loss), float(loss_torch), rtol=1e-5)
