@@ -79,6 +79,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert latest_checkpoint(str(tmp_path / "ckpt")).endswith("5")
 
 
+def test_async_checkpoint_writer(tmp_path):
+    """AsyncCheckpointWriter overlaps writes and is read-back-identical to the
+    sync path; back-to-back saves to fresh paths serialize correctly."""
+    from text2human_tpu.utils.checkpoint import AsyncCheckpointWriter
+
+    writer = AsyncCheckpointWriter()
+    tree = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "step": jnp.int32(3),
+    }
+    writer.save(str(tmp_path / "a" / "3"), tree)
+    tree2 = {"params": {"w": tree["params"]["w"] * 2}, "step": jnp.int32(4)}
+    writer.save(str(tmp_path / "a" / "4"), tree2)  # waits for the first
+    writer.wait()
+    r3 = load_checkpoint(str(tmp_path / "a" / "3"), target=tree)
+    r4 = load_checkpoint(str(tmp_path / "a" / "4"), target=tree2)
+    np.testing.assert_allclose(np.asarray(r3["params"]["w"]), np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(np.asarray(r4["params"]["w"]), 2 * np.arange(6.0).reshape(2, 3))
+    assert int(r4["step"]) == 4
+    assert latest_checkpoint(str(tmp_path / "a")).endswith("4")
+
+
 def test_frechet_matches_scipy_sqrtm(rng):
     """Symmetrized-eigh Frechet == the textbook scipy.linalg.sqrtm form,
     including near-singular (low-rank) covariances (VERDICT round-1 weak #6)."""

@@ -64,5 +64,56 @@ def test_serve_generate_roundtrip():
             f"http://127.0.0.1:{port}/healthz", timeout=30
         ) as r:
             assert json.loads(r.read())["status"] == "ok"
+
+        # browser frontend: GET / serves the single-page UI with the palette
+        # and the reference's 24 class names injected
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        assert "Text2Human" in page and "/session/paint" in page
+        assert "wrist wearing" in page and "[0, 0, 0]" in page
+
+        # stepwise session workflow: pose -> parsing -> paint -> undo -> generate
+        def post(path, body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        assert "h" in post("/session/pose", {})
+        p0 = post("/session/parsing", {"shape_text": "a woman, T-shirt, pants"})
+        import io
+
+        from PIL import Image
+
+        from text2human_tpu.ui.session import palette_to_segm
+
+        rgb0 = np.array(
+            Image.open(io.BytesIO(base64.b64decode(p0["parsing_png_b64"])))
+        )
+        p1 = post(
+            "/session/paint",
+            {"cls_id": 13, "points": [[2, 2], [3, 3]], "brush": 3},
+        )
+        rgb1 = np.array(
+            Image.open(io.BytesIO(base64.b64decode(p1["parsing_png_b64"])))
+        )
+        assert (palette_to_segm(rgb1)[:5, :5] == 13).any()
+        undo = post("/session/undo", {})
+        assert undo["ok"]
+        rgb2 = np.array(
+            Image.open(io.BytesIO(base64.b64decode(undo["parsing_png_b64"])))
+        )
+        np.testing.assert_array_equal(rgb2, rgb0)
+        gen = post(
+            "/session/generate", {"texture_text": "denim", "sample_steps": 4}
+        )
+        img2 = np.array(
+            Image.open(io.BytesIO(base64.b64decode(gen["image_png_b64"])))
+        )
+        assert img2.ndim == 3 and img2.shape[2] == 3
     finally:
         server.shutdown()

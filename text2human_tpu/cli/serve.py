@@ -1,13 +1,25 @@
-"""Minimal HTTP serving endpoint over the text->image pipeline.
+"""HTTP serving endpoint + browser frontend over the text->image pipeline.
 
   python -m text2human_tpu.cli.serve -opt configs/sample_from_pose.yml --port 8000
 
-POST /generate with JSON:
+GET  /          -> single-page interactive demo (text2human_tpu/ui/web.py) —
+                   the browser equivalent of the reference's PyQt5 ui_demo.py
+GET  /healthz   -> {"status": "ok", "backend": ...}
+
+POST /generate with JSON (stateless one-shot):
   {"shape_text": "...", "texture_text": "...",
    "pose_png_b64": "<base64 densepose png>"}      # optional; random if absent
 -> {"image_png_b64": ..., "parsing_png_b64": ...}
 
-GET /healthz -> {"status": "ok", "backend": ...}
+Stepwise session API (mirrors ui.session.InteractiveSession; one session per
+server process like the reference's one demo window):
+  POST /session/pose      {"pose_png_b64": ...}        (synthetic if absent)
+  POST /session/parsing   {"shape_text": ...}       -> {"parsing_png_b64"}
+  POST /session/paint     {"cls_id", "points" [[y,x]..], "brush"}
+                                                    -> {"parsing_png_b64"}
+  POST /session/undo      {}                        -> {"ok", "parsing_png_b64"?}
+  POST /session/generate  {"texture_text", "sample_steps"?}
+                                                    -> {"image_png_b64"}
 
 Stdlib-only (http.server); model state lives in one InteractiveSession per
 process, requests are serialized (one TPU program at a time is the fast path
@@ -30,11 +42,33 @@ def make_handler(session, opt, lock):
     from PIL import Image
 
     from text2human_tpu.ui.session import segm_to_palette
+    from text2human_tpu.ui.web import index_html
 
     def png_b64(arr_uint8):
         buf = io.BytesIO()
         Image.fromarray(arr_uint8).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode()
+
+    def decode_pose(req):
+        """densepose I-channel from the request PNG, or a synthetic one."""
+        if req.get("pose_png_b64"):
+            iuv = np.array(
+                Image.open(io.BytesIO(base64.b64decode(req["pose_png_b64"])))
+            )
+            pose_i = iuv[..., 2] if iuv.ndim == 3 else iuv
+            factor = opt.get("downsample_factor") or 2
+            return pose_i[::factor, ::factor].astype(np.float32)
+        res = (
+            opt.get("synthetic_resolution")
+            or opt.get("top_resolution")
+            or 512
+        )
+        return np.random.default_rng(0).uniform(
+            0, 24, (res, res // 2)
+        ).astype(np.float32)
+
+    def parsing_png():
+        return png_b64(segm_to_palette(session.segm))
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
@@ -45,8 +79,18 @@ def make_handler(session, opt, lock):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_html(self, html: str):
+            body = html.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
-            if self.path == "/healthz":
+            if self.path in ("/", "/index.html"):
+                self._send_html(index_html())
+            elif self.path == "/healthz":
                 import jax
 
                 self._send(200, {"status": "ok", "backend": jax.default_backend()})
@@ -54,48 +98,68 @@ def make_handler(session, opt, lock):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path != "/generate":
-                self._send(404, {"error": "unknown path"})
-                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                shape_text = req.get("shape_text", "a woman, T-shirt, pants")
-                texture_text = req.get("texture_text", "pure color, pure color")
-                steps = int(req.get("sample_steps", 0))
-
-                if req.get("pose_png_b64"):
-                    iuv = np.array(
-                        Image.open(io.BytesIO(base64.b64decode(req["pose_png_b64"])))
-                    )
-                    pose_i = iuv[..., 2] if iuv.ndim == 3 else iuv
-                    factor = opt.get("downsample_factor") or 2
-                    pose_i = pose_i[::factor, ::factor].astype(np.float32)
-                else:
-                    res = (
-                        opt.get("synthetic_resolution")
-                        or opt.get("top_resolution")
-                        or 512
-                    )
-                    pose_i = np.random.default_rng(0).uniform(
-                        0, 24, (res, res // 2)
-                    ).astype(np.float32)
-
+                route = getattr(self, "_route_" + self.path.strip("/").replace("/", "_"), None)
+                if route is None:
+                    self._send(404, {"error": "unknown path"})
+                    return
                 with lock:  # one TPU program at a time
-                    session.feed_pose(pose_i)
-                    parsing_rgb = session.generate_parsing(shape_text)
-                    img01 = session.generate_human(texture_text, sample_steps=steps)
-
-                img_u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-                self._send(
-                    200,
-                    {
-                        "image_png_b64": png_b64(img_u8),
-                        "parsing_png_b64": png_b64(parsing_rgb),
-                    },
-                )
+                    route(req)
             except Exception as e:  # report, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+        # -- stateless one-shot --------------------------------------------
+
+        def _route_generate(self, req):
+            shape_text = req.get("shape_text", "a woman, T-shirt, pants")
+            texture_text = req.get("texture_text", "pure color, pure color")
+            steps = int(req.get("sample_steps", 0))
+            session.feed_pose(decode_pose(req))
+            parsing_rgb = session.generate_parsing(shape_text)
+            img01 = session.generate_human(texture_text, sample_steps=steps)
+            img_u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            self._send(
+                200,
+                {
+                    "image_png_b64": png_b64(img_u8),
+                    "parsing_png_b64": png_b64(parsing_rgb),
+                },
+            )
+
+        # -- stepwise session (ui_demo.py workflow) -------------------------
+
+        def _route_session_pose(self, req):
+            pose_i = decode_pose(req)
+            session.feed_pose(pose_i)
+            self._send(200, {"h": int(pose_i.shape[0]), "w": int(pose_i.shape[1])})
+
+        def _route_session_parsing(self, req):
+            rgb = session.generate_parsing(req.get("shape_text", ""))
+            self._send(200, {"parsing_png_b64": png_b64(rgb)})
+
+        def _route_session_paint(self, req):
+            points = [(int(y), int(x)) for y, x in req.get("points", [])]
+            session.paint(
+                int(req.get("cls_id", 0)), points, brush=int(req.get("brush", 3))
+            )
+            self._send(200, {"parsing_png_b64": parsing_png()})
+
+        def _route_session_undo(self, req):
+            ok = session.undo()
+            payload = {"ok": ok}
+            if session.segm is not None:
+                payload["parsing_png_b64"] = parsing_png()
+            self._send(200, payload)
+
+        def _route_session_generate(self, req):
+            img01 = session.generate_human(
+                req.get("texture_text", ""),
+                sample_steps=int(req.get("sample_steps", 0)),
+            )
+            img_u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            self._send(200, {"image_png_b64": png_b64(img_u8)})
 
         def log_message(self, fmt, *args):  # quiet access logs
             pass
@@ -138,7 +202,7 @@ def main(argv=None):
 
     opt = parse(args.opt, is_train=False)
     server = build_server(opt, args.synthetic, args.port)
-    print(f"serving on http://127.0.0.1:{args.port}  (POST /generate)")
+    print(f"serving on http://127.0.0.1:{args.port}  (UI at /, POST /generate)")
     server.serve_forever()
 
 

@@ -32,7 +32,7 @@ from text2human_tpu.data.datasets import (
 )
 from text2human_tpu.data.loader import DataLoader
 from text2human_tpu.trainers.base import lr_for_epoch, set_learning_rate
-from text2human_tpu.utils.checkpoint import save_checkpoint
+from text2human_tpu.utils.checkpoint import AsyncCheckpointWriter
 from text2human_tpu.utils.logger import MessageLogger, get_root_logger
 from text2human_tpu.utils.misc import make_exp_dirs, set_random_seed
 
@@ -408,6 +408,9 @@ def main(argv=None):
         return
     loop.init(first_batch)
     loop._distribute_state()
+    # checkpoint writes overlap training (orbax background thread); each
+    # save waits for the previous one, and the loop waits before exit
+    ckpt_writer = AsyncCheckpointWriter()
     if args.resume:
         from text2human_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 
@@ -474,7 +477,7 @@ def main(argv=None):
             # checkpoint EVERY val epoch with the epoch in the name (reference
             # train_vqvae.py:126-128); 'best' additionally tracks the
             # trainer-declared metric instead of a guessy fallback chain
-            save_checkpoint(
+            ckpt_writer.save(
                 osp.join(opt["path"]["models"], str(epoch)),
                 {"state": loop.state, "epoch": epoch,
                  "best": float("nan") if best is None else best},
@@ -493,13 +496,13 @@ def main(argv=None):
                 )
                 if better:
                     best = score
-                    save_checkpoint(
+                    ckpt_writer.save(
                         osp.join(opt["path"]["models"], "best"),
                         {"state": loop.state, "epoch": epoch, "best": best},
                     )
                     # re-stamp the epoch checkpoint with the new watermark so
                     # a resume from it cannot regress models/best
-                    save_checkpoint(
+                    ckpt_writer.save(
                         osp.join(opt["path"]["models"], str(epoch)),
                         {"state": loop.state, "epoch": epoch, "best": best},
                     )
@@ -507,11 +510,12 @@ def main(argv=None):
                         f"new best {metric_name}={score:.6g} at epoch {epoch}"
                     )
 
-    save_checkpoint(
+    ckpt_writer.save(
         osp.join(opt["path"]["models"], "final"),
         {"state": loop.state, "epoch": num_epochs - 1,
          "best": float("nan") if best is None else best},
     )
+    ckpt_writer.wait()
     logger.info("training done")
 
 

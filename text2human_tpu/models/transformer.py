@@ -157,6 +157,7 @@ class TransformerMultiHead(nn.Module):
         select_heads: bool = False,
         flash: bool = False,
         bf16_scores: bool = False,
+        ragged_heads: bool = False,
     ) -> jax.Array:
         """idx/segm_tokens/texture_tokens: [B, T] int32.
 
@@ -168,6 +169,14 @@ class TransformerMultiHead(nn.Module):
         and accumulated so the full [B, T, K, C] tensor (600 MB at batch 16)
         never hits HBM — exactly one head per position is ever consumed
         (reference sample_model.py:300-317 discards the rest too).
+
+        ``ragged_heads=True`` additionally removes the K-fold FLOP
+        over-compute of the masked accumulation: positions are sorted by
+        their active head and pushed through ONE grouped matmul
+        (``lax.ragged_dot`` — the MoE-style grouped GEMM XLA maps onto the
+        MXU), then unsorted.  Identical math (each output row is a single
+        x·W_k dot product); measured 2.8x faster than the masked loop at
+        serving shapes (~7% of the decode step, BENCHMARKS.md).
         """
         cfg = self.cfg
         init02 = nn.initializers.normal(stddev=0.02)
@@ -224,6 +233,28 @@ class TransformerMultiHead(nn.Module):
             tex = jnp.clip(
                 texture_tokens.astype(jnp.int32), 0, cfg.num_output_heads - 1
             )
+
+            if ragged_heads:
+                # group all B*T positions by their active head (the head
+                # assignment is constant across the whole decode scan) and
+                # run one grouped matmul over the sorted rows.
+                xf = x.reshape(b * t, -1)
+                tf = tex.reshape(b * t)
+                order = jnp.argsort(tf)
+                xs = jnp.take(xf, order, axis=0)
+                group_sizes = jnp.bincount(
+                    tf, length=cfg.num_output_heads
+                ).astype(jnp.int32)
+                out = jax.lax.ragged_dot(
+                    xs,
+                    heads.astype(self.dtype),
+                    group_sizes,
+                    preferred_element_type=jnp.float32,
+                )
+                inv = jnp.zeros_like(order).at[order].set(jnp.arange(b * t))
+                return jnp.take(out, inv, axis=0).reshape(
+                    b, t, cfg.head_class_num
+                )
 
             def add_head(k, acc):
                 head_k = jax.lax.dynamic_index_in_dim(

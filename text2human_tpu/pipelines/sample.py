@@ -110,7 +110,15 @@ class SamplePipeline:
       params['parsing_gen']  {'params':…, 'batch_stats':…}  (pose path only)
     """
 
-    def __init__(self, cfgs: PipelineConfigs, dtype=jnp.float32, fused_attn=None):
+    def __init__(
+        self,
+        cfgs: PipelineConfigs,
+        dtype=jnp.float32,
+        fused_attn=None,
+        ragged_heads: bool = True,
+        mesh=None,
+        dp_axis: str = "dp",
+    ):
         self.cfgs = cfgs
         # whole-sequence fused attention in the decode loop (ops/attn_pallas):
         # measured +58% throughput at batch 32, +5% at batch 4 on v5e
@@ -120,6 +128,17 @@ class SamplePipeline:
         if fused_attn is None:
             fused_attn = jax.default_backend() == "tpu"
         self.fused_attn = fused_attn
+        # grouped-matmul head selection (models/transformer.py ragged_heads):
+        # same math, 18x fewer head-stage FLOPs than the masked accumulation
+        self.ragged_heads = ragged_heads
+        # multi-chip serving: with a mesh, the denoiser trunk runs under
+        # shard_map with the batch split on ``dp_axis`` — required for the
+        # Pallas attention kernel (XLA cannot partition a custom call by
+        # itself) and keeps the ragged-head sort device-local.  The scan
+        # state/randomness stays global-shaped, so results are bit-identical
+        # to the single-device path (batch must divide the dp axis size).
+        self.mesh = mesh
+        self.dp_axis = dp_axis
         self.hierarchy = HierarchyVQ(cfgs.top, cfgs.top_quant, cfgs.bot, cfgs.bot_quant)
         self.segm_vq = SegmVQVAE(cfgs.segm, cfgs.segm_quant)
         self.denoiser = TransformerMultiHead(cfgs.transformer, dtype=dtype)
@@ -156,19 +175,37 @@ class SamplePipeline:
     def _sample_impl(
         self, params, key, segm_tokens, texture_tokens, sample_steps: int
     ):
-        def denoise(x_t):
-            # select_heads: emit only each position's active head — avoids the
-            # [B,T,18,1024] logits tensor entirely (HBM-bound at batch >= 16).
-            # flash: whole-sequence fused attention keeps the [T,T] scores in
-            # VMEM (ops/attn_pallas.py) — removes the score-matrix HBM traffic
-            # that made round-1 throughput peak at batch 4.
+        # select_heads: emit only each position's active head — avoids the
+        # [B,T,18,1024] logits tensor entirely (HBM-bound at batch >= 16).
+        # flash: whole-sequence fused attention keeps the [T,T] scores in
+        # VMEM (ops/attn_pallas.py) — removes the score-matrix HBM traffic
+        # that made round-1 throughput peak at batch 4.
+        def apply_trunk(p, x_t, st, tt):
             return self.denoiser.apply(
-                {"params": params["sampler"]},
+                {"params": p},
                 x_t,
-                segm_tokens,
-                texture_tokens,
+                st,
+                tt,
                 select_heads=True,
                 flash=self.fused_attn,
+                ragged_heads=self.ragged_heads,
+            )
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            dp = P(self.dp_axis)
+            apply_trunk = jax.shard_map(
+                apply_trunk,
+                mesh=self.mesh,
+                in_specs=(P(), dp, dp, dp),
+                out_specs=dp,
+                check_vma=False,
+            )
+
+        def denoise(x_t):
+            return apply_trunk(
+                params["sampler"], x_t, segm_tokens, texture_tokens
             )
 
         local, _ = sample_loop(
@@ -272,3 +309,31 @@ class SamplePipeline:
         texture_mask = texture_mask_from_segm(segm, upper_attr, lower_attr, outer_attr)
         images = self.sample_from_parsing(params, key, segm, texture_mask, sample_steps)
         return images, segm
+
+
+def cast_sampler_params(params: Dict[str, Any], dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Store the sampler trunk's weights in the serving compute dtype.
+
+    Halves the sampler's HBM footprint (~380 MB -> ~190 MB) for deployments
+    that co-locate several models per chip.  Step time is *neutral* on v5e
+    (measured 11.17 vs 11.25 ms/step at batch 16 — XLA already fuses the
+    f32->bf16 cast into the consuming matmuls, so weight reads were never the
+    bottleneck); use it for memory, not speed.  LayerNorm scales/biases stay
+    f32 (the norms accumulate in f32; keeping their params exact costs
+    nothing).  Only ``params['sampler']`` is touched — the conv decode stages
+    keep f32 for reference parity (BENCHMARKS.md).
+    """
+
+    def cast(path, leaf):
+        parts = [str(getattr(p, "key", p)) for p in path]
+        if any(p.startswith("ln") for p in parts):  # ln1/ln2/ln_f
+            return leaf
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    out = dict(params)
+    out["sampler"] = jax.tree_util.tree_map_with_path(
+        cast, params["sampler"]
+    )
+    return out

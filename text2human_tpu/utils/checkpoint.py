@@ -53,6 +53,40 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
 restore_checkpoint = load_checkpoint
 
 
+class AsyncCheckpointWriter:
+    """Overlap checkpoint writes with training (orbax AsyncCheckpointer).
+
+    ``save`` snapshots the tree to host memory, kicks off the serialization/
+    disk write on orbax's background thread, and returns — the train loop
+    keeps stepping while the checkpoint lands.  A new save waits for the
+    previous one first (orbax allows one in-flight write per checkpointer).
+    Call :meth:`wait` before process exit or before reading the file back.
+
+    Falls back to the synchronous :func:`save_checkpoint` without orbax.
+    On multi-host (``jax.process_count() > 1``) orbax coordinates the
+    distributed barrier itself; every process must call save/wait.
+    """
+
+    def __init__(self):
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if _HAVE_ORBAX
+            else None
+        )
+
+    def save(self, path: str, tree: Any):
+        if self._ckptr is None:  # pragma: no cover - orbax is in the image
+            return save_checkpoint(path, tree)
+        self._ckptr.wait_until_finished()
+        self._ckptr.save(
+            osp.abspath(path), jax.device_get(tree), force=True
+        )
+
+    def wait(self):
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
+
 def latest_checkpoint(root: str) -> Optional[str]:
     """Return the highest-numbered checkpoint dir under ``root`` (step-named)."""
     if not osp.isdir(root):
