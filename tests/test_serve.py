@@ -4,11 +4,101 @@ import base64
 import json
 import threading
 import urllib.request
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from text2human_tpu.cli.serve import build_server
 from text2human_tpu.config import parse
+from text2human_tpu.pipelines.batching import DynamicBatcher, pad_batch
+
+
+def test_dynamic_batcher_unit():
+    """Coalescing, group separation, padding, and error propagation."""
+    calls = []
+
+    def run(items):
+        calls.append(len(items))
+        return [x * 2 for x in items]
+
+    b = DynamicBatcher(run, max_batch=4, window_ms=300)
+    with ThreadPoolExecutor(3) as ex:
+        results = list(ex.map(b.submit, [1, 2, 3]))
+    assert results == [2, 4, 6]
+    assert sum(calls) == 3
+    assert len(calls) <= 2  # at least two requests coalesced
+
+    # group_key: odd/even must never share a batch
+    seen = []
+
+    def run_groups(items):
+        seen.append(sorted(items))
+        return items
+
+    g = DynamicBatcher(
+        run_groups, max_batch=8, window_ms=300, group_key=lambda x: x % 2
+    )
+    with ThreadPoolExecutor(4) as ex:
+        list(ex.map(g.submit, [1, 2, 3, 4]))
+    for batch in seen:
+        assert len({x % 2 for x in batch}) == 1
+
+    # a failing batch raises in every submitter and the worker survives
+    def run_fail(items):
+        raise ValueError("boom")
+
+    f = DynamicBatcher(run_fail, max_batch=2, window_ms=10)
+    try:
+        f.submit(1, timeout=30)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    assert pad_batch([1, 2], 4) == [1, 2, 2, 2]
+    assert pad_batch([], 4) == []
+
+
+def test_serve_generate_dynamic_batching():
+    """Concurrent /generate requests coalesce into one padded TPU batch."""
+    opt = parse("configs/debug/sample_from_pose_debug.yml", is_train=False)
+    server = build_server(
+        opt, synthetic=True, port=0, max_batch=4, window_ms=1000.0
+    )
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def gen(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(
+                    {
+                        "shape_text": "a woman, T-shirt, pants",
+                        "texture_text": "pure color, denim",
+                        "sample_steps": 4,
+                    }
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())
+
+        with ThreadPoolExecutor(3) as ex:
+            outs = list(ex.map(gen, range(3)))
+        import io
+
+        from PIL import Image
+
+        for out in outs:
+            img = np.array(
+                Image.open(io.BytesIO(base64.b64decode(out["image_png_b64"])))
+            )
+            assert img.ndim == 3 and img.shape[2] == 3
+        sizes = server.batcher.batch_sizes
+        assert sum(sizes) == 3
+        assert max(sizes) >= 2, sizes  # requests actually coalesced
+    finally:
+        server.shutdown()
 
 
 def test_serve_generate_roundtrip():

@@ -38,7 +38,69 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def make_handler(session, opt, lock):
+def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
+    """Dynamic batcher for the stateless /generate route: concurrent requests
+    coalesce into one padded TPU batch (pipelines/batching.py).  Serialized
+    against the interactive session's TPU calls through the same lock."""
+    import jax
+    import jax.numpy as jnp
+
+    from text2human_tpu.pipelines.batching import DynamicBatcher, pad_batch
+    from text2human_tpu.pipelines.sample import texture_mask_from_segm  # noqa: F401
+    from text2human_tpu.ui.session import segm_to_palette
+    from text2human_tpu.utils.language import (
+        generate_shape_attributes,
+        generate_texture_attributes,
+    )
+
+    pipe, params = session.pipe, session.params
+    key_state = {"key": jax.random.key((opt.get("manual_seed") or 0) + 1)}
+
+    def run_batch(items):
+        n = len(items)
+        pose = np.stack(pad_batch([it["pose_i"] for it in items], max_batch))
+        pose = jnp.asarray(pose / 12.0 - 1.0, jnp.float32)[..., None]
+        shape_attr = jnp.asarray(
+            np.stack(
+                pad_batch(
+                    [generate_shape_attributes(it["shape_text"]) for it in items],
+                    max_batch,
+                )
+            ),
+            jnp.int32,
+        )
+        tex = pad_batch(
+            [generate_texture_attributes(it["texture_text"])[:3] for it in items],
+            max_batch,
+        )
+        up, lo, ou = (
+            jnp.asarray([t[i] for t in tex], jnp.int32) for i in range(3)
+        )
+        with lock:  # one TPU program at a time (shared with /session/*)
+            key_state["key"], sub = jax.random.split(key_state["key"])
+            imgs, segm = pipe.sample_from_pose(
+                params, sub, pose, shape_attr, up, lo, ou, items[0]["steps"]
+            )
+            imgs = np.asarray(imgs[:n])
+            segm = np.asarray(segm[:n])
+        return [
+            (
+                np.clip(imgs[i] * 255.0 + 0.5, 0, 255).astype(np.uint8),
+                segm_to_palette(segm[i]),
+            )
+            for i in range(n)
+        ]
+
+    return DynamicBatcher(
+        run_batch,
+        max_batch=max_batch,
+        window_ms=window_ms,
+        # different pose shapes / step counts are different compiled programs
+        group_key=lambda it: (it["pose_i"].shape, it["steps"]),
+    )
+
+
+def make_handler(session, opt, lock, batcher=None):
     from PIL import Image
 
     from text2human_tpu.ui.session import segm_to_palette
@@ -101,9 +163,15 @@ def make_handler(session, opt, lock):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                route = getattr(self, "_route_" + self.path.strip("/").replace("/", "_"), None)
+                name = "_route_" + self.path.strip("/").replace("/", "_")
+                route = getattr(self, name, None)
                 if route is None:
                     self._send(404, {"error": "unknown path"})
+                    return
+                if name == "_route_generate" and batcher is not None:
+                    # batched route takes the lock inside the batch runner so
+                    # concurrent requests can coalesce instead of serializing
+                    route(req)
                     return
                 with lock:  # one TPU program at a time
                     route(req)
@@ -116,10 +184,20 @@ def make_handler(session, opt, lock):
             shape_text = req.get("shape_text", "a woman, T-shirt, pants")
             texture_text = req.get("texture_text", "pure color, pure color")
             steps = int(req.get("sample_steps", 0))
-            session.feed_pose(decode_pose(req))
-            parsing_rgb = session.generate_parsing(shape_text)
-            img01 = session.generate_human(texture_text, sample_steps=steps)
-            img_u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            if batcher is not None:
+                img_u8, parsing_rgb = batcher.submit(
+                    {
+                        "pose_i": decode_pose(req),
+                        "shape_text": shape_text,
+                        "texture_text": texture_text,
+                        "steps": steps,
+                    }
+                )
+            else:
+                session.feed_pose(decode_pose(req))
+                parsing_rgb = session.generate_parsing(shape_text)
+                img01 = session.generate_human(texture_text, sample_steps=steps)
+                img_u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
             self._send(
                 200,
                 {
@@ -167,7 +245,12 @@ def make_handler(session, opt, lock):
     return Handler
 
 
-def build_server(opt, synthetic: bool, port: int):
+def build_server(
+    opt, synthetic: bool, port: int, max_batch: int = 1, window_ms: float = 30.0
+):
+    """``max_batch > 1`` turns on dynamic batching for /generate: concurrent
+    requests coalesce into one padded TPU batch (the throughput sweet spot is
+    b=16, BENCHMARKS.md); /session/* stays sequential (it is stateful)."""
     from text2human_tpu.cli.builders import build_pipeline
     from text2human_tpu.cli.sample import load_params
     from text2human_tpu.ui.session import InteractiveSession
@@ -176,8 +259,16 @@ def build_server(opt, synthetic: bool, port: int):
     pipe = build_pipeline(opt)
     params = load_params(pipe, opt, synthetic)
     session = InteractiveSession(pipe, params, seed=opt.get("manual_seed") or 0)
-    handler = make_handler(session, opt, threading.Lock())
-    return ThreadingHTTPServer(("127.0.0.1", port), handler)
+    lock = threading.Lock()
+    batcher = (
+        make_batched_generate(session, opt, lock, max_batch, window_ms)
+        if max_batch > 1
+        else None
+    )
+    handler = make_handler(session, opt, lock, batcher)
+    server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    server.batcher = batcher  # observability (tests, ops)
+    return server
 
 
 def main(argv=None):
@@ -186,6 +277,19 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--max-batch",
+        type=int,
+        default=4,
+        help="dynamic batching for /generate: coalesce up to N concurrent "
+        "requests into one TPU batch (1 disables)",
+    )
+    parser.add_argument(
+        "--batch-window-ms",
+        type=float,
+        default=30.0,
+        help="how long the first queued request waits for company",
+    )
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -201,7 +305,10 @@ def main(argv=None):
     from text2human_tpu.config import parse
 
     opt = parse(args.opt, is_train=False)
-    server = build_server(opt, args.synthetic, args.port)
+    server = build_server(
+        opt, args.synthetic, args.port,
+        max_batch=args.max_batch, window_ms=args.batch_window_ms,
+    )
     print(f"serving on http://127.0.0.1:{args.port}  (UI at /, POST /generate)")
     server.serve_forever()
 

@@ -1,0 +1,103 @@
+"""Dynamic request batching for the serving path.
+
+TPU throughput on the text->image pipeline peaks at serving batch sizes
+(b=16: 4.9 img/s vs 4.3 at b=4 — BENCHMARKS.md), but HTTP requests arrive
+one at a time.  The reference has no serving story at all (its endpoint is a
+desktop app); this is the piece a production deployment needs: concurrent
+``/generate`` requests are coalesced into one padded TPU batch.
+
+Design points (TPU-first):
+  * ONE compiled program: every batch is padded to ``max_batch`` by repeating
+    the last request, so XLA never sees a new batch shape (recompiles over
+    the serving tunnel cost minutes).  Padding rows are real compute but the
+    step cost is dominated by the 256-step scan whose cost at b<=16 is
+    nearly flat (launch-bound), so padding is close to free.
+  * Requests are grouped by (pose shape, sample_steps) — different static
+    shapes cannot share a program.
+  * The window opens when the first request is dequeued and closes after
+    ``window_ms`` or at ``max_batch``, whichever comes first: an idle server
+    adds at most one window of latency, a loaded one runs back-to-back full
+    batches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Sequence
+
+
+class DynamicBatcher:
+    """Coalesce concurrent submissions into batched calls.
+
+    ``run_batch(items) -> list[results]`` is called on a worker thread with
+    1..max_batch items; per-item results (or the batch's exception) are
+    delivered through the Future each ``submit`` blocks on.
+    """
+
+    def __init__(
+        self,
+        run_batch: Callable[[List[Any]], Sequence[Any]],
+        max_batch: int = 8,
+        window_ms: float = 30.0,
+        group_key: Callable[[Any], Any] = lambda item: None,
+    ):
+        self.run_batch = run_batch
+        self.max_batch = max(1, int(max_batch))
+        self.window_s = max(0.0, float(window_ms)) / 1000.0
+        self.group_key = group_key
+        self._queue: "queue.Queue" = queue.Queue()
+        # observability: sizes of every batch executed (tests + ops)
+        self.batch_sizes: List[int] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, item: Any, timeout: float = 600.0) -> Any:
+        """Enqueue one request and block until its result is ready."""
+        fut: Future = Future()
+        self._queue.put((item, fut))
+        return fut.result(timeout=timeout)
+
+    # -- worker ---------------------------------------------------------
+
+    def _collect(self) -> List:
+        first = self._queue.get()  # block until there is work
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while True:
+            pending = self._collect()
+            # group by static-shape key; each group is one TPU program call
+            groups: Dict[Any, List] = {}
+            for item, fut in pending:
+                groups.setdefault(self.group_key(item), []).append((item, fut))
+            for members in groups.values():
+                try:
+                    results = self.run_batch([it for it, _ in members])
+                    self.batch_sizes.append(len(members))
+                    for (_, fut), res in zip(members, results):
+                        fut.set_result(res)
+                except Exception as e:  # fail the batch, keep serving
+                    for _, fut in members:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+
+def pad_batch(arrays: List, max_batch: int) -> List:
+    """Repeat the last element until ``max_batch`` so the stacked batch
+    always has the same leading dim (single compiled program)."""
+    if not arrays:
+        return arrays
+    return list(arrays) + [arrays[-1]] * (max_batch - len(arrays))
