@@ -131,6 +131,36 @@ def test_pipeline_inference_dp_sharded(rng):
     )
 
 
+def test_sharded_checkpoint_restore(tmp_path):
+    """load_checkpoint_sharded restores each leaf directly with its mesh
+    sharding (multi-host layout: processes read only the shards they own)."""
+    from text2human_tpu.utils.checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint,
+    )
+
+    model = TransformerMultiHead(TP_CFG)
+    tok = jnp.zeros((1, TP_CFG.block_size), jnp.int32)
+    params = model.init(jax.random.key(0), tok, tok, tok)["params"]
+    path = str(tmp_path / "ckpt" / "0")
+    save_checkpoint(path, params)
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    specs = transformer_param_specs(params)
+    restored = load_checkpoint_sharded(path, params, mesh, specs)
+
+    qk = restored["blocks"]["attn"]["query"]["kernel"]
+    assert len(qk.sharding.device_set) == 8
+    assert qk.sharding.spec == P(None, None, "tp")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))
+        ),
+        restored,
+        params,
+    )
+
+
 def test_pipeline_shard_map_mesh(rng):
     """SamplePipeline(mesh=...) runs the denoiser trunk under shard_map (the
     layout required for the Pallas attention kernel on real multi-chip

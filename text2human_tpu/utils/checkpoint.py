@@ -87,6 +87,34 @@ class AsyncCheckpointWriter:
             self._ckptr.wait_until_finished()
 
 
+def load_checkpoint_sharded(path: str, target: Any, mesh, specs) -> Any:
+    """Restore a checkpoint directly into a sharded pytree on ``mesh``.
+
+    ``specs`` is a PartitionSpec tree matching ``target`` (e.g. from
+    ``parallel.mesh.transformer_param_specs``).  Each leaf is materialized
+    with its NamedSharding by orbax — on a multi-host pod every process reads
+    only the shards it owns, instead of replicating the full tree through
+    host memory and resharding afterwards.
+    """
+    if not _HAVE_ORBAX:  # pragma: no cover - orbax is in the image
+        raise RuntimeError("sharded restore requires orbax")
+    from jax.sharding import NamedSharding
+
+    restore_args = jax.tree.map(
+        lambda leaf, spec: ocp.ArrayRestoreArgs(
+            sharding=NamedSharding(mesh, spec),
+            global_shape=leaf.shape,
+            dtype=leaf.dtype,
+        ),
+        target,
+        specs,
+    )
+    checkpointer = ocp.PyTreeCheckpointer()
+    return checkpointer.restore(
+        osp.abspath(path), item=target, restore_args=restore_args
+    )
+
+
 def latest_checkpoint(root: str) -> Optional[str]:
     """Return the highest-numbered checkpoint dir under ``root`` (step-named)."""
     if not osp.isdir(root):
