@@ -97,6 +97,24 @@ def test_serve_generate_dynamic_batching():
         sizes = server.batcher.batch_sizes
         assert sum(sizes) == 3
         assert max(sizes) >= 2, sizes  # requests actually coalesced
+
+        # observability endpoint reflects the traffic (stats are recorded
+        # just after the response is flushed — poll briefly)
+        import time as _time
+
+        for _ in range(50):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30
+            ) as r:
+                metrics = json.loads(r.read())
+            if metrics["routes"].get("/generate", {}).get("count") == 3:
+                break
+            _time.sleep(0.1)
+        assert metrics["routes"]["/generate"]["count"] == 3
+        assert metrics["routes"]["/generate"]["errors"] == 0
+        assert metrics["routes"]["/generate"]["latency_s"]["p50"] > 0
+        assert metrics["batching"]["requests"] == 3
+        assert metrics["batching"]["max_batch_seen"] >= 2
     finally:
         server.shutdown()
 

@@ -30,12 +30,60 @@ from __future__ import annotations
 
 import argparse
 import base64
+import collections
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class ServerStats:
+    """Per-route request counts/latencies for the /metrics endpoint."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self._counts = collections.Counter()
+        self._errors = collections.Counter()
+        self._latencies = collections.defaultdict(
+            lambda: collections.deque(maxlen=window)
+        )
+        self._start = time.time()
+
+    def record(self, route: str, seconds: float, ok: bool):
+        with self._lock:
+            self._counts[route] += 1
+            if not ok:
+                self._errors[route] += 1
+            self._latencies[route].append(seconds)
+
+    def snapshot(self, batcher=None) -> dict:
+        with self._lock:
+            routes = {}
+            for route, count in self._counts.items():
+                lats = sorted(self._latencies[route])
+                q = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))]
+                routes[route] = {
+                    "count": count,
+                    "errors": self._errors.get(route, 0),
+                    "latency_s": {
+                        "p50": round(q(0.50), 4),
+                        "p90": round(q(0.90), 4),
+                        "p99": round(q(0.99), 4),
+                    },
+                }
+            out = {"uptime_s": round(time.time() - self._start, 1), "routes": routes}
+        if batcher is not None:
+            sizes = list(batcher.batch_sizes)
+            out["batching"] = {
+                "batches": len(sizes),
+                "requests": sum(sizes),
+                "mean_batch": round(sum(sizes) / len(sizes), 2) if sizes else 0.0,
+                "max_batch_seen": max(sizes) if sizes else 0,
+            }
+        return out
 
 
 def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
@@ -100,11 +148,13 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
     )
 
 
-def make_handler(session, opt, lock, batcher=None):
+def make_handler(session, opt, lock, batcher=None, stats=None):
     from PIL import Image
 
     from text2human_tpu.ui.session import segm_to_palette
     from text2human_tpu.ui.web import index_html
+
+    stats = stats if stats is not None else ServerStats()
 
     def png_b64(arr_uint8):
         buf = io.BytesIO()
@@ -156,14 +206,18 @@ def make_handler(session, opt, lock, batcher=None):
                 import jax
 
                 self._send(200, {"status": "ok", "backend": jax.default_backend()})
+            elif self.path == "/metrics":
+                self._send(200, stats.snapshot(batcher))
             else:
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            t0 = time.time()
+            name = "_route_" + self.path.strip("/").replace("/", "_")
+            ok = False
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                name = "_route_" + self.path.strip("/").replace("/", "_")
                 route = getattr(self, name, None)
                 if route is None:
                     self._send(404, {"error": "unknown path"})
@@ -172,11 +226,14 @@ def make_handler(session, opt, lock, batcher=None):
                     # batched route takes the lock inside the batch runner so
                     # concurrent requests can coalesce instead of serializing
                     route(req)
-                    return
-                with lock:  # one TPU program at a time
-                    route(req)
+                else:
+                    with lock:  # one TPU program at a time
+                        route(req)
+                ok = True
             except Exception as e:  # report, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                stats.record(self.path, time.time() - t0, ok)
 
         # -- stateless one-shot --------------------------------------------
 
