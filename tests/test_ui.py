@@ -63,6 +63,16 @@ def test_stroke_undo():
     assert sess.undo()
     np.testing.assert_array_equal(sess.segm, before)
 
+    # out-of-range class ids are rejected BEFORE mutating the map (a bad id
+    # would corrupt the parsing and break every later palette render)
+    import pytest
+
+    for bad in (-1, 24, 99):
+        with pytest.raises(ValueError):
+            sess.paint(bad, [(2, 2)], brush=3)
+    np.testing.assert_array_equal(sess.segm, before)
+    assert not sess.undo()  # nothing was pushed to history
+
 
 def test_segm_tokenizer_random_projection_colorize(rng):
     """to_rgb: fixed random projection, min-max normalized to [-1, 1]

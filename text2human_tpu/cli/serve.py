@@ -40,6 +40,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+def to_uint8(img01: "np.ndarray") -> "np.ndarray":
+    """[H,W,3] floats in [0,1] -> uint8 (same rounding as cli/sample.py)."""
+    return np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
 class ServerStats:
     """Per-route request counts/latencies for the /metrics endpoint."""
 
@@ -76,10 +81,10 @@ class ServerStats:
                 }
             out = {"uptime_s": round(time.time() - self._start, 1), "routes": routes}
         if batcher is not None:
-            sizes = list(batcher.batch_sizes)
+            sizes = list(batcher.batch_sizes)  # recent successful batches
             out["batching"] = {
-                "batches": len(sizes),
-                "requests": sum(sizes),
+                "batches": batcher.total_batches,
+                "requests": batcher.total_requests,
                 "mean_batch": round(sum(sizes) / len(sizes), 2) if sizes else 0.0,
                 "max_batch_seen": max(sizes) if sizes else 0,
             }
@@ -94,8 +99,7 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
     import jax.numpy as jnp
 
     from text2human_tpu.pipelines.batching import DynamicBatcher, pad_batch
-    from text2human_tpu.pipelines.sample import texture_mask_from_segm  # noqa: F401
-    from text2human_tpu.ui.session import segm_to_palette
+    from text2human_tpu.ui.session import normalize_densepose, segm_to_palette
     from text2human_tpu.utils.language import (
         generate_shape_attributes,
         generate_texture_attributes,
@@ -107,7 +111,7 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
     def run_batch(items):
         n = len(items)
         pose = np.stack(pad_batch([it["pose_i"] for it in items], max_batch))
-        pose = jnp.asarray(pose / 12.0 - 1.0, jnp.float32)[..., None]
+        pose = jnp.asarray(normalize_densepose(pose), jnp.float32)[..., None]
         shape_attr = jnp.asarray(
             np.stack(
                 pad_batch(
@@ -131,13 +135,7 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
             )
             imgs = np.asarray(imgs[:n])
             segm = np.asarray(segm[:n])
-        return [
-            (
-                np.clip(imgs[i] * 255.0 + 0.5, 0, 255).astype(np.uint8),
-                segm_to_palette(segm[i]),
-            )
-            for i in range(n)
-        ]
+        return [(to_uint8(imgs[i]), segm_to_palette(segm[i])) for i in range(n)]
 
     return DynamicBatcher(
         run_batch,
@@ -179,9 +177,6 @@ def make_handler(session, opt, lock, batcher=None, stats=None):
             0, 24, (res, res // 2)
         ).astype(np.float32)
 
-    def parsing_png():
-        return png_b64(segm_to_palette(session.segm))
-
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
             body = json.dumps(payload).encode()
@@ -214,26 +209,37 @@ def make_handler(session, opt, lock, batcher=None, stats=None):
         def do_POST(self):
             t0 = time.time()
             name = "_route_" + self.path.strip("/").replace("/", "_")
+            route = getattr(self, name, None)
             ok = False
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                route = getattr(self, name, None)
                 if route is None:
                     self._send(404, {"error": "unknown path"})
                     return
                 if name == "_route_generate" and batcher is not None:
                     # batched route takes the lock inside the batch runner so
                     # concurrent requests can coalesce instead of serializing
-                    route(req)
+                    code, payload = route(req)
                 else:
                     with lock:  # one TPU program at a time
-                        route(req)
-                ok = True
+                        code, payload = route(req)
+                # PNG encoding and the response write happen OUTSIDE the
+                # lock: a slow-reading client must not stall other requests
+                if callable(payload):
+                    payload = payload()
+                self._send(code, payload)
+                ok = code < 400
             except Exception as e:  # report, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
-                stats.record(self.path, time.time() - t0, ok)
+                # key stats on known routes only (arbitrary probed paths must
+                # not grow the stats maps without bound)
+                stats.record(
+                    self.path if route is not None else "<unknown>",
+                    time.time() - t0,
+                    ok,
+                )
 
         # -- stateless one-shot --------------------------------------------
 
@@ -254,47 +260,52 @@ def make_handler(session, opt, lock, batcher=None, stats=None):
                 session.feed_pose(decode_pose(req))
                 parsing_rgb = session.generate_parsing(shape_text)
                 img01 = session.generate_human(texture_text, sample_steps=steps)
-                img_u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-            self._send(
-                200,
-                {
-                    "image_png_b64": png_b64(img_u8),
-                    "parsing_png_b64": png_b64(parsing_rgb),
-                },
-            )
+                img_u8 = to_uint8(img01)
+            return 200, lambda: {
+                "image_png_b64": png_b64(img_u8),
+                "parsing_png_b64": png_b64(parsing_rgb),
+            }
 
         # -- stepwise session (ui_demo.py workflow) -------------------------
 
         def _route_session_pose(self, req):
             pose_i = decode_pose(req)
             session.feed_pose(pose_i)
-            self._send(200, {"h": int(pose_i.shape[0]), "w": int(pose_i.shape[1])})
+            return 200, {"h": int(pose_i.shape[0]), "w": int(pose_i.shape[1])}
 
         def _route_session_parsing(self, req):
             rgb = session.generate_parsing(req.get("shape_text", ""))
-            self._send(200, {"parsing_png_b64": png_b64(rgb)})
+            return 200, lambda: {"parsing_png_b64": png_b64(rgb)}
 
         def _route_session_paint(self, req):
             points = [(int(y), int(x)) for y, x in req.get("points", [])]
             session.paint(
                 int(req.get("cls_id", 0)), points, brush=int(req.get("brush", 3))
             )
-            self._send(200, {"parsing_png_b64": parsing_png()})
+            # snapshot under the lock: paint mutates segm in place and the
+            # PNG encode runs after the lock is released
+            segm = session.segm.copy()
+            return 200, lambda: {"parsing_png_b64": png_b64(segm_to_palette(segm))}
 
         def _route_session_undo(self, req):
-            ok = session.undo()
-            payload = {"ok": ok}
-            if session.segm is not None:
-                payload["parsing_png_b64"] = parsing_png()
-            self._send(200, payload)
+            undone = session.undo()
+            segm = None if session.segm is None else session.segm.copy()
+
+            def payload():
+                out = {"ok": undone}
+                if segm is not None:
+                    out["parsing_png_b64"] = png_b64(segm_to_palette(segm))
+                return out
+
+            return 200, payload
 
         def _route_session_generate(self, req):
             img01 = session.generate_human(
                 req.get("texture_text", ""),
                 sample_steps=int(req.get("sample_steps", 0)),
             )
-            img_u8 = np.clip(img01 * 255.0 + 0.5, 0, 255).astype(np.uint8)
-            self._send(200, {"image_png_b64": png_b64(img_u8)})
+            img_u8 = to_uint8(img01)
+            return 200, lambda: {"image_png_b64": png_b64(img_u8)}
 
         def log_message(self, fmt, *args):  # quiet access logs
             pass

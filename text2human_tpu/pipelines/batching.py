@@ -22,6 +22,7 @@ Design points (TPU-first):
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -49,8 +50,11 @@ class DynamicBatcher:
         self.window_s = max(0.0, float(window_ms)) / 1000.0
         self.group_key = group_key
         self._queue: "queue.Queue" = queue.Queue()
-        # observability: sizes of every batch executed (tests + ops)
-        self.batch_sizes: List[int] = []
+        # observability (tests + /metrics): recent batch sizes (bounded —
+        # a long-lived server must not grow this forever) + running totals
+        self.batch_sizes: "collections.deque" = collections.deque(maxlen=4096)
+        self.total_batches = 0
+        self.total_requests = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -84,8 +88,17 @@ class DynamicBatcher:
             for item, fut in pending:
                 groups.setdefault(self.group_key(item), []).append((item, fut))
             for members in groups.values():
+                self.total_batches += 1
+                self.total_requests += len(members)
                 try:
                     results = self.run_batch([it for it, _ in members])
+                    if len(results) != len(members):
+                        # a silent zip truncation would leave the unmatched
+                        # futures hanging until their submit() timeout
+                        raise RuntimeError(
+                            f"run_batch returned {len(results)} results for "
+                            f"{len(members)} items"
+                        )
                     self.batch_sizes.append(len(members))
                     for (_, fut), res in zip(members, results):
                         fut.set_result(res)

@@ -45,6 +45,12 @@ def segm_to_palette(segm: np.ndarray) -> np.ndarray:
     return palette[np.asarray(segm, np.int64)]
 
 
+def normalize_densepose(densepose_i: np.ndarray) -> np.ndarray:
+    """Raw densepose I-channel values -> network input range, the same
+    normalization the datasets apply (data/pose_attr_dataset.py:85)."""
+    return np.asarray(densepose_i, np.float32) / 12.0 - 1.0
+
+
 def palette_to_segm(rgb: np.ndarray) -> np.ndarray:
     """[H,W,3] RGB -> [H,W] class ids (exact-match decode, ui_demo.py:143-148)."""
     rgb = np.asarray(rgb, np.int64)
@@ -80,7 +86,7 @@ class InteractiveSession:
     def feed_pose(self, densepose_i_channel: np.ndarray):
         """densepose I-channel [H,W] raw values; normalized /12-1 like the
         datasets (data/pose_attr_dataset.py:85)."""
-        pose = np.asarray(densepose_i_channel, np.float32) / 12.0 - 1.0
+        pose = normalize_densepose(densepose_i_channel)
         self.pose = jnp.asarray(pose)[None, :, :, None]
 
     # -- step 2: shape text -> parsing (ui_demo.py:102-134)
@@ -101,6 +107,12 @@ class InteractiveSession:
         demo's per-class stroke replay.  Each call is one stroke and is
         undoable with :meth:`undo`."""
         assert self.segm is not None, "generate_parsing first"
+        if not 0 <= cls_id < len(PALETTE):
+            # reject before mutating: an out-of-range class id would corrupt
+            # the parsing map and break every later palette render
+            raise ValueError(
+                f"cls_id {cls_id} out of range [0, {len(PALETTE)})"
+            )
         self._history.append(self.segm.copy())
         h, w = self.segm.shape
         r = brush // 2

@@ -132,13 +132,26 @@ async function api(path, body) {
   setStatus('');
   return j;
 }
+let parsingSeq = 0;
 function showParsing(b64) {
+  // seq guard: image decode is async, so a stale response must not
+  // overwrite a newer parsing map already on the canvas
+  const seq = ++parsingSeq;
   const img = new Image();
-  img.onload = () => { mapW = img.width; mapH = img.height;
+  img.onload = () => { if (seq !== parsingSeq) return;
+    mapW = img.width; mapH = img.height;
     canvas.width = img.width; canvas.height = img.height;
     ctx.imageSmoothingEnabled = false;
     ctx.drawImage(img, 0, 0); };
   img.src = 'data:image/png;base64,' + b64;
+}
+function bytesToB64(bytes) {
+  // chunked: String.fromCharCode(...bytes) blows the argument limit on
+  // real-size PNGs (>~64k)
+  let s = '';
+  for (let i = 0; i < bytes.length; i += 0x8000)
+    s += String.fromCharCode.apply(null, bytes.subarray(i, i + 0x8000));
+  return btoa(s);
 }
 // class buttons
 const holder = document.getElementById('classes');
@@ -185,7 +198,7 @@ document.getElementById('random_pose').onclick = async () => {
 };
 document.getElementById('pose_file').onchange = async ev => {
   const f = ev.target.files[0]; if (!f) return;
-  const b64 = btoa(String.fromCharCode(...new Uint8Array(await f.arrayBuffer())));
+  const b64 = bytesToB64(new Uint8Array(await f.arrayBuffer()));
   await api('/session/pose', {pose_png_b64: b64});
   setStatus('pose loaded');
 };
