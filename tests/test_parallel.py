@@ -190,6 +190,40 @@ def test_pipeline_shard_map_mesh(rng):
     )
 
 
+def test_pipeline_tp_sharded_sampler(rng):
+    """Latency-oriented serving: the sampler trunk's params tensor-sharded
+    over tp (attention heads / MLP hidden / output-head classes) through jit
+    sharding propagation — XLA splits the einsums per device — matches the
+    single-device pipeline. (The fused-attention kernel path instead shards
+    over dp via shard_map; tp serving uses the einsum path.)"""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pipeline import CFGS, RES, _init_params
+    from text2human_tpu.pipelines.sample import SamplePipeline
+    from text2human_tpu.parallel.mesh import replicate_tree, shard_params
+
+    pipe = SamplePipeline(CFGS)
+    params = _init_params(pipe, rng)
+    b = 2
+    segm = jnp.asarray(rng.integers(0, 24, (b, RES, RES // 2)))
+    mask = jnp.asarray(rng.integers(0, 3, (b, RES, RES // 2)).astype(np.float32))
+    ref = pipe.sample_from_parsing(params, jax.random.key(0), segm, mask, 4)
+
+    mesh = make_mesh({"tp": 8})
+    sh = dict(replicate_tree(mesh, params))
+    sh["sampler"] = shard_params(
+        mesh, params["sampler"], transformer_param_specs(params["sampler"])
+    )
+    out = pipe.sample_from_parsing(
+        sh, jax.random.key(0), *replicate_tree(mesh, (segm, mask)), 4
+    )
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out)), np.asarray(ref), atol=1e-4
+    )
+
+
 def test_gan_train_step_dp_sharded(rng):
     """One GAN train step (BatchNorm stats + adaptive-weight VJPs) under dp
     matches the single-device step numerically (VERDICT round-1 weak #2:

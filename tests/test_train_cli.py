@@ -52,6 +52,48 @@ def test_train_cli_resume():
     assert "resumed from" in log
 
 
+def test_train_cli_preemption(monkeypatch):
+    """SIGTERM-driven preemption: the loop checkpoints at the next iteration
+    boundary, exits cleanly, and --resume continues the run (pods get
+    preempted; the reference has no resume at all)."""
+    import os
+    import signal
+
+    # the real handler flips the event on SIGTERM
+    prev = train_cli._install_sigterm_handler()
+    try:
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert train_cli.PREEMPTED.wait(timeout=10)
+    finally:
+        train_cli.PREEMPTED.clear()
+        if prev is not None:
+            signal.signal(signal.SIGTERM, prev)
+
+    # deterministic preemption: simulate the signal arriving immediately
+    # after the loop starts — exactly one step runs, then checkpoint+exit
+    monkeypatch.setattr(
+        train_cli, "_install_sigterm_handler",
+        lambda: train_cli.PREEMPTED.set(),
+    )
+    train_cli.main([
+        "-opt", "configs/debug/parsing_token_debug.yml", "--synthetic",
+    ])
+    log_path = "experiments/parsing_token_debug/train_parsing_token_debug.log"
+    assert "SIGTERM: preemption checkpoint" in open(log_path).read()
+    assert os.path.isdir("experiments/parsing_token_debug/models/0")
+    assert not os.path.isdir("experiments/parsing_token_debug/models/final")
+
+    # resume from the preemption checkpoint (and let it finish this time)
+    monkeypatch.setattr(train_cli, "_install_sigterm_handler", lambda: None)
+    train_cli.main([
+        "-opt", "configs/debug/parsing_token_debug.yml", "--synthetic",
+        "--resume",
+    ])
+    log = open(log_path).read()
+    assert "resumed from" in log
+    assert os.path.isdir("experiments/parsing_token_debug/models/final")
+
+
 def test_train_cli_top_vqgan():
     """GAN trainer through the full CLI wiring (builders -> TrainLoop -> val
     -> visuals) — VERDICT round-1 weak #7."""

@@ -13,6 +13,8 @@ the whole loop runs without DeepFashion on disk.
 from __future__ import annotations
 
 import argparse
+import signal
+import threading
 import os
 import os.path as osp
 import time
@@ -35,6 +37,18 @@ from text2human_tpu.trainers.base import lr_for_epoch, set_learning_rate
 from text2human_tpu.utils.checkpoint import AsyncCheckpointWriter
 from text2human_tpu.utils.logger import MessageLogger, get_root_logger
 from text2human_tpu.utils.misc import make_exp_dirs, set_random_seed
+
+# set by SIGTERM (pod preemption): the train loop checkpoints at the next
+# iteration boundary and exits cleanly so --resume continues the run
+PREEMPTED = threading.Event()
+
+
+def _install_sigterm_handler():
+    try:
+        return signal.signal(signal.SIGTERM, lambda s, f: PREEMPTED.set())
+    except ValueError:  # not the main thread (e.g. embedded use)
+        return None
+
 
 def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
     if synthetic:
@@ -411,6 +425,8 @@ def main(argv=None):
     # checkpoint writes overlap training (orbax background thread); each
     # save waits for the previous one, and the loop waits before exit
     ckpt_writer = AsyncCheckpointWriter()
+    PREEMPTED.clear()
+    _install_sigterm_handler()
     if args.resume:
         from text2human_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 
@@ -464,7 +480,9 @@ def main(argv=None):
                 )
             if args.max_iters and current_iter >= args.max_iters:
                 break
-        if args.max_iters and current_iter >= args.max_iters:
+            if PREEMPTED.is_set():
+                break
+        if (args.max_iters and current_iter >= args.max_iters) or PREEMPTED.is_set():
             break
         if (epoch + 1) % (opt.get("val_freq") or 5) == 0:
             val = loop.validate(val_loader)
@@ -509,6 +527,21 @@ def main(argv=None):
                     logger.info(
                         f"new best {metric_name}={score:.6g} at epoch {epoch}"
                     )
+
+    if PREEMPTED.is_set():
+        # preemption checkpoint: epoch-named so latest_checkpoint/--resume
+        # picks it up; stored epoch-1 so the interrupted epoch is replayed
+        ckpt_writer.save(
+            osp.join(opt["path"]["models"], str(epoch)),
+            {"state": loop.state, "epoch": epoch - 1,
+             "best": float("nan") if best is None else best},
+        )
+        ckpt_writer.wait()
+        logger.info(
+            f"SIGTERM: preemption checkpoint at epoch {epoch}, "
+            f"step {current_iter}; resume with --resume"
+        )
+        return
 
     ckpt_writer.save(
         osp.join(opt["path"]["models"], "final"),
