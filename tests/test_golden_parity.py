@@ -504,3 +504,162 @@ def test_golden_index_prediction_full(rng):
         variables, jnp.asarray(feat.transpose(0, 2, 3, 1))
     )
     assert_close(got, want, 5e-3, "18-head index logits")
+
+
+def test_golden_stage2_decode_composite(rng):
+    """THE full deterministic serving composite: sampled top indices -> image,
+    our SamplePipeline.decode vs the reference sample_and_refine body
+    (sample_model.py:225-248 + bot_index_prediction :183-213) composed from
+    the reference archs on disk with converted weights.  Covers top
+    get_codebook_entry, post-quant conv, index-pred UNet+18-head FCN with
+    per-region argmax, bottom 2x2-patch get_codebook_entry/fold, DecoderRes,
+    and the fused hierarchy decode — everything after the (RNG-relaxed)
+    diffusion sampler."""
+    import torch.nn.functional as F
+
+    va = ref("vqgan_arch")
+    ua = ref_mm("unet_arch")
+    fa = ref_mm("fcn_arch")
+    from text2human_tpu.pipelines.sample import PipelineConfigs, SamplePipeline
+
+    tcfg, tq = C.TOP_VQGAN, C.TOP_QUANTIZER
+    bcfg, bq = C.BOT_VQGAN, C.BOT_QUANTIZER
+    torch.manual_seed(12)
+
+    # -- reference modules at released dims ------------------------------
+    top_enc = va.Encoder(
+        ch=tcfg.ch, num_res_blocks=tcfg.num_res_blocks,
+        attn_resolutions=list(tcfg.attn_resolutions), ch_mult=tcfg.ch_mult,
+        in_channels=tcfg.in_channels, resolution=tcfg.resolution,
+        z_channels=tcfg.z_channels, double_z=tcfg.double_z,
+    ).eval()
+    top_quantize = va.VectorQuantizerTexture(
+        tq.n_embed, tq.embed_dim, beta=tq.beta
+    ).eval()
+    top_quant_conv = torch.nn.Conv2d(tcfg.z_channels, tq.embed_dim, 1)
+    top_post_quant_conv = torch.nn.Conv2d(tq.embed_dim, tcfg.z_channels, 1)
+    decoder = va.Decoder(
+        in_channels=tcfg.in_channels, resolution=tcfg.resolution,
+        z_channels=tcfg.z_channels, ch=tcfg.ch, out_ch=tcfg.out_ch,
+        num_res_blocks=tcfg.num_res_blocks,
+        attn_resolutions=list(tcfg.attn_resolutions), ch_mult=tcfg.ch_mult,
+    ).eval()
+
+    bot_enc = va.Encoder(
+        ch=bcfg.ch, num_res_blocks=bcfg.num_res_blocks,
+        attn_resolutions=list(bcfg.attn_resolutions), ch_mult=bcfg.ch_mult,
+        in_channels=bcfg.in_channels, resolution=bcfg.resolution,
+        z_channels=bcfg.z_channels, double_z=bcfg.double_z,
+    ).eval()
+    bot_quantize = va.VectorQuantizerSpatialTextureAware(
+        bq.n_embed, bq.embed_dim, beta=bq.beta, spatial_size=bq.spatial_size
+    ).eval()
+    bot_quant_conv = torch.nn.Conv2d(bcfg.z_channels, bq.embed_dim, 1)
+    bot_post_quant_conv = torch.nn.Conv2d(bq.embed_dim, bcfg.z_channels, 1)
+    bot_decoder_res = va.DecoderRes(
+        in_channels=bcfg.in_channels, resolution=bcfg.resolution,
+        z_channels=bcfg.z_channels, ch=bcfg.ch,
+        num_res_blocks=bcfg.num_res_blocks, ch_mult=bcfg.ch_mult,
+    ).eval()
+
+    guidance_encoder = ua.UNet(in_channels=256)
+    index_decoder = fa.MultiHeadFCNHead(
+        in_channels=64, in_index=4, channels=64, num_convs=1,
+        concat_input=False, dropout_ratio=0.1, num_classes=512,
+        align_corners=False, num_head=18,
+    )
+    _warm_bn(guidance_encoder, lambda: (torch.randn(1, 256, 32, 16),))
+    _warm_bn(index_decoder, lambda: ([torch.randn(1, 64, 32, 16)] * 5,))
+
+    # -- inputs: sampled local top indices + full-res texture mask --------
+    h_lat, w_lat = 32, 16
+    texture_mask = random_texture_mask(rng, 1, 512, 256)
+    top_local = rng.integers(0, tq.n_embed, (1, h_lat * w_lat)).astype(np.int64)
+
+    # -- torch composite (sample_and_refine body) -------------------------
+    tm = torch.from_numpy(texture_mask[:, None])
+    with torch.no_grad():
+        tex_tokens = (
+            F.interpolate(tm, (h_lat, w_lat), mode="nearest").view(-1).long()
+        )
+        top_flat = torch.from_numpy(top_local).view(-1)
+        sample_indices = [
+            torch.where(tex_tokens == k, top_flat, torch.full_like(top_flat, -1))
+            .view(1, h_lat, w_lat)
+            for k in range(18)
+        ]
+        top_quant = top_quantize.get_codebook_entry(
+            sample_indices, tm, (1, h_lat, w_lat, tq.embed_dim)
+        )
+        top_quant = top_post_quant_conv(top_quant)
+
+        # bot_index_prediction (sample_model.py:183-213)
+        feats = guidance_encoder(top_quant)
+        logits_list = index_decoder(feats)
+        bot_indices_list = [
+            torch.full((h_lat * w_lat,), -1, dtype=torch.long) for _ in range(18)
+        ]
+        for k, logits in enumerate(logits_list):
+            roi = tex_tokens == k
+            if torch.sum(roi) > 0:
+                pred = logits.argmax(dim=1).view(-1)
+                bot_indices_list[k][roi] = pred[roi]
+        bot_indices_list = [t.view(1, h_lat, w_lat) for t in bot_indices_list]
+
+        quant_bot = bot_quantize.get_codebook_entry(
+            bot_indices_list, tm, (1, h_lat, w_lat, bq.embed_dim)
+        )
+        quant_bot = bot_post_quant_conv(quant_bot)
+        bot_h = bot_decoder_res(quant_bot)
+        dec = decoder(top_quant, bot_h=bot_h)
+        want = ((dec + 1) / 2).clamp_(0, 1)
+
+    # -- ours: the converted pipeline params, one jitted decode call ------
+    top_ckpt = {
+        "encoder": top_enc.state_dict(), "decoder": decoder.state_dict(),
+        "quantize": top_quantize.state_dict(),
+        "quant_conv": top_quant_conv.state_dict(),
+        "post_quant_conv": top_post_quant_conv.state_dict(),
+    }
+    bot_ckpt = {
+        "bot_encoder": bot_enc.state_dict(),
+        "bot_decoder_res": bot_decoder_res.state_dict(),
+        "decoder": decoder.state_dict(),
+        "bot_quantize": bot_quantize.state_dict(),
+        "bot_quant_conv": bot_quant_conv.state_dict(),
+        "bot_post_quant_conv": bot_post_quant_conv.state_dict(),
+    }
+    top_p = ti.convert_top_vqgan(top_ckpt)["params"]
+    bot_p = ti.convert_bottom_vqgan(bot_ckpt)["params"]
+    hierarchy = {
+        "top_encoder": top_p["encoder"],
+        "top_quantize": top_p["quantize"],
+        "top_quant_conv": top_p["quant_conv"],
+        "top_post_quant_conv": top_p["post_quant_conv"],
+        "decoder": bot_p["decoder"],
+        "bot_encoder": bot_p["bot_encoder"],
+        "bot_decoder_res": bot_p["bot_decoder_res"],
+        "bot_quantize": bot_p["bot_quantize"],
+        "bot_quant_conv": bot_p["bot_quant_conv"],
+        "bot_post_quant_conv": bot_p["bot_post_quant_conv"],
+    }
+    params = {
+        "hierarchy": hierarchy,
+        "index_pred": ti.convert_index_pred(
+            {
+                "guidance_encoder": guidance_encoder.state_dict(),
+                "index_decoder": index_decoder.state_dict(),
+            }
+        ),
+    }
+    cfgs = PipelineConfigs(
+        top=tcfg, top_quant=tq, bot=bcfg, bot_quant=bq,
+        segm=C.SEGM_VQGAN, segm_quant=C.SEGM_QUANTIZER,
+        transformer=C.SAMPLER_TRANSFORMER,
+        index_unet=C.INDEX_PRED_UNET, index_fcn=C.INDEX_PRED_FCN,
+    )
+    pipe = SamplePipeline(cfgs)
+    got = pipe.decode(
+        params, jnp.asarray(top_local, jnp.int32), jnp.asarray(texture_mask)
+    )
+    assert_close(got, nhwc(want), 5e-3, "stage-II decode image")
