@@ -101,3 +101,37 @@ def test_segm_tokenizer_random_projection_colorize(rng):
     # deterministic across calls (fixed projection)
     rgb2 = trainer.to_rgb(one_hot_segm(segm, 6))
     np.testing.assert_array_equal(np.asarray(rgb), np.asarray(rgb2))
+
+
+def test_demo_cli_end_to_end(tmp_path):
+    """Terminal demo entry point: pose PNG in -> parsing palette + image out
+    (the last untested CLI surface)."""
+    import numpy as np
+    from PIL import Image
+
+    from text2human_tpu.cli import demo as demo_cli
+
+    # 128x64 source: the CLI downsamples by factor 2 -> the debug config's
+    # 64x32 input resolution
+    pose = (np.random.default_rng(0).uniform(0, 24, (128, 64, 3)) + 0.5).astype(
+        np.uint8
+    )
+    pose_path = str(tmp_path / "x_densepose.png")
+    Image.fromarray(pose).save(pose_path)
+    out = str(tmp_path / "out.png")
+    parsing_out = str(tmp_path / "parsing.png")
+    demo_cli.main([
+        "-opt", "configs/debug/sample_from_pose_debug.yml",
+        "--synthetic", "--cpu",
+        "--pose", pose_path,
+        "--shape-text", "a woman, short-sleeve T-shirt, long pants",
+        "--texture-text", "pure color, denim",
+        "--sample-steps", "4",
+        "--out", out, "--parsing-out", parsing_out,
+    ])
+    img = np.array(Image.open(out))
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    parsing = np.array(Image.open(parsing_out))
+    from text2human_tpu.ui.session import palette_to_segm
+
+    assert palette_to_segm(parsing).max() < 24
