@@ -141,14 +141,28 @@ def test_hierarchy_mask_and_step(rng):
         assert v == want, name
 
     state = trainer.init_state(jax.random.key(1), gen_params, batch["image"])
-    top_before = jax.tree.map(np.asarray, state.params["gen"]["top_encoder"])
+    before = jax.tree.map(np.asarray, state.params["gen"])
     state, metrics = trainer.train_step(state, batch, jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, np.asarray(b)),
-        top_before,
-        state.params["gen"]["top_encoder"],
+    # EVERY mask=False leaf must be bit-identical after the step — including
+    # decoder leaves with nonzero gradients (conv_in/mid/conv_out/up_deepest).
+    # optax.masked alone passes raw grads through for frozen leaves; the
+    # optimizer must explicitly zero them (trainers/base.py make_optimizer).
+    changed_frozen = []
+    trainable_moved = []
+
+    def check(path, m, a, b):
+        same = np.array_equal(a, np.asarray(b))
+        if not m and not same:
+            changed_frozen.append(jax.tree_util.keystr(path))
+        if m and not same:
+            trainable_moved.append(jax.tree_util.keystr(path))
+
+    jax.tree_util.tree_map_with_path(
+        check, mask, before, state.params["gen"]
     )
+    assert not changed_frozen, changed_frozen
+    assert trainable_moved  # the step actually trained something
 
 
 TINY_TF = TransformerConfig(

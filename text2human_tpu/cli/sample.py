@@ -59,7 +59,17 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
     with_pose = opt["model_type"] == "SampleFromPoseModel"
     if with_pose:
         paths.append(opt.get("pretrained_parsing_gen"))
-    if not synthetic and all(p and osp.exists(p) for p in paths):
+    if not synthetic:
+        missing = [p or "<unset>" for p in paths if not (p and osp.exists(p))]
+        if missing:
+            # never silently serve random weights (the training CLI refuses
+            # random frozen tokenizers for the same reason): a typo'd path
+            # would boot a healthy-looking server producing noise
+            raise FileNotFoundError(
+                f"checkpoint paths missing or not on disk: {missing}; "
+                "fix the YAML paths (or pass --synthetic explicitly for "
+                "random-weight smoke mode)"
+            )
         from text2human_tpu.utils.torch_import import convert_pipeline_checkpoints
 
         return convert_pipeline_checkpoints(
@@ -71,7 +81,7 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
             opt.get("pretrained_parsing_gen") or "",
         )
 
-    # random-weight fallback (smoke mode)
+    # random-weight smoke mode (explicit --synthetic)
     cfgs = pipe.cfgs
     res = cfgs.top.resolution
     img = jnp.zeros((1, res, res // 2, 3))

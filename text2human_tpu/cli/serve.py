@@ -21,9 +21,11 @@ server process like the reference's one demo window):
   POST /session/generate  {"texture_text", "sample_steps"?}
                                                     -> {"image_png_b64"}
 
-Stdlib-only (http.server); model state lives in one InteractiveSession per
-process, requests are serialized (one TPU program at a time is the fast path
-anyway). For real deployments put this behind a batching frontend.
+Stdlib-only (http.server). /generate runs through a dynamic batcher
+(concurrent requests coalesce into one padded TPU batch, --max-batch) and
+never touches the shared InteractiveSession; /session/* requests serialize
+on one lock (stateful, one editing session per process like the reference's
+demo window).
 """
 
 from __future__ import annotations
@@ -217,8 +219,8 @@ def make_handler(session, opt, lock, batcher=None, stats=None):
                 if route is None:
                     self._send(404, {"error": "unknown path"})
                     return
-                if name == "_route_generate" and batcher is not None:
-                    # batched route takes the lock inside the batch runner so
+                if name == "_route_generate":
+                    # the batcher takes the lock inside the batch runner so
                     # concurrent requests can coalesce instead of serializing
                     code, payload = route(req)
                 else:
@@ -247,20 +249,17 @@ def make_handler(session, opt, lock, batcher=None, stats=None):
             shape_text = req.get("shape_text", "a woman, T-shirt, pants")
             texture_text = req.get("texture_text", "pure color, pure color")
             steps = int(req.get("sample_steps", 0))
-            if batcher is not None:
-                img_u8, parsing_rgb = batcher.submit(
-                    {
-                        "pose_i": decode_pose(req),
-                        "shape_text": shape_text,
-                        "texture_text": texture_text,
-                        "steps": steps,
-                    }
-                )
-            else:
-                session.feed_pose(decode_pose(req))
-                parsing_rgb = session.generate_parsing(shape_text)
-                img01 = session.generate_human(texture_text, sample_steps=steps)
-                img_u8 = to_uint8(img01)
+            # always served through the batcher (a max-batch-1 batcher just
+            # runs singles): the stateless route must never mutate the shared
+            # InteractiveSession a /session/* user is editing through
+            img_u8, parsing_rgb = batcher.submit(
+                {
+                    "pose_i": decode_pose(req),
+                    "shape_text": shape_text,
+                    "texture_text": texture_text,
+                    "steps": steps,
+                }
+            )
             return 200, lambda: {
                 "image_png_b64": png_b64(img_u8),
                 "parsing_png_b64": png_b64(parsing_rgb),
@@ -316,9 +315,11 @@ def make_handler(session, opt, lock, batcher=None, stats=None):
 def build_server(
     opt, synthetic: bool, port: int, max_batch: int = 1, window_ms: float = 30.0
 ):
-    """``max_batch > 1`` turns on dynamic batching for /generate: concurrent
-    requests coalesce into one padded TPU batch (the throughput sweet spot is
-    b=16, BENCHMARKS.md); /session/* stays sequential (it is stateful)."""
+    """/generate is always served through the dynamic batcher (so it never
+    touches the shared interactive session); ``max_batch > 1`` lets
+    concurrent requests coalesce into one padded TPU batch (the throughput
+    sweet spot is b=16, BENCHMARKS.md). /session/* stays sequential (it is
+    stateful)."""
     from text2human_tpu.cli.builders import build_pipeline
     from text2human_tpu.cli.sample import load_params
     from text2human_tpu.ui.session import InteractiveSession
@@ -328,11 +329,7 @@ def build_server(
     params = load_params(pipe, opt, synthetic)
     session = InteractiveSession(pipe, params, seed=opt.get("manual_seed") or 0)
     lock = threading.Lock()
-    batcher = (
-        make_batched_generate(session, opt, lock, max_batch, window_ms)
-        if max_batch > 1
-        else None
-    )
+    batcher = make_batched_generate(session, opt, lock, max_batch, window_ms)
     handler = make_handler(session, opt, lock, batcher)
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     server.batcher = batcher  # observability (tests, ops)

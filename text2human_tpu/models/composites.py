@@ -164,6 +164,7 @@ class HierarchyVQ(nn.Module):
             embed_dim=self.top_quant.embed_dim,
             num_codebooks=self.top_quant.num_codebooks,
             beta=self.top_quant.beta,
+            legacy=self.top_quant.legacy,
         )
 
         self.bot_encoder = Encoder(self.bot_cfg)
@@ -176,6 +177,7 @@ class HierarchyVQ(nn.Module):
             spatial_size=self.bot_quant.spatial_size,
             num_codebooks=self.bot_quant.num_codebooks,
             beta=self.bot_quant.beta,
+            legacy=self.bot_quant.legacy,
         )
 
     def top_encode(self, x: jax.Array, texture_mask: jax.Array) -> jax.Array:

@@ -102,17 +102,43 @@ def make_optimizer(
 
     tx = optax.inject_hyperparams(build)(learning_rate=lr)
     if mask is not None:
-        tx = optax.masked(tx, mask)
+        # optax.masked passes the RAW gradient through as the update for
+        # mask=False leaves (it only skips the inner transform) — frozen
+        # params would get `param += grad` every step. Explicitly zero the
+        # frozen leaves' updates.
+        if callable(mask):
+            inverted = lambda params: jax.tree.map(  # noqa: E731
+                lambda m: not m, mask(params)
+            )
+        else:
+            inverted = jax.tree.map(lambda m: not m, mask)
+        tx = optax.chain(
+            optax.masked(tx, mask),
+            optax.masked(optax.set_to_zero(), inverted),
+        )
     return tx
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected lr hyperparameter (works with optax.masked too)."""
-    inner = opt_state
-    if hasattr(inner, "inner_state"):
-        inner.inner_state.hyperparams["learning_rate"] = jnp.asarray(lr)
-        return opt_state
-    inner.hyperparams["learning_rate"] = jnp.asarray(lr)
+    """Update the injected lr hyperparameter, walking through optax.masked /
+    optax.chain wrappers to find the inject_hyperparams state."""
+
+    def find(state):
+        if hasattr(state, "hyperparams"):
+            return state
+        if hasattr(state, "inner_state"):
+            return find(state.inner_state)
+        if isinstance(state, (tuple, list)):
+            for sub in state:
+                found = find(sub)
+                if found is not None:
+                    return found
+        return None
+
+    target = find(opt_state)
+    if target is None:
+        raise ValueError("no inject_hyperparams state found in opt_state")
+    target.hyperparams["learning_rate"] = jnp.asarray(lr)
     return opt_state
 
 

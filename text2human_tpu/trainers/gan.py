@@ -87,6 +87,9 @@ class GANTrainer:
         self.ae_apply = ae_apply
         self.lpips = lpips_module
         self.lpips_vars = lpips_vars
+        # validation runs the full AE + VGG tower: compile it like the train
+        # step instead of dispatching ~100 conv layers eagerly per val batch
+        self.eval_loss = jax.jit(self._eval_loss_impl)
         self.cfg = cfg
         self.decoder_path = decoder_path
         self.disc = disc or Discriminator()
@@ -273,7 +276,7 @@ class GANTrainer:
     def train_step(self, state, batch, key):
         return self._step(state, batch, key)
 
-    def eval_loss(self, gen_params, batch) -> Dict[str, jax.Array]:
+    def _eval_loss_impl(self, gen_params, batch) -> Dict[str, jax.Array]:
         x = batch["image"]
         mask = batch.get("texture_mask")
         xrec, _, _ = self.ae_apply(gen_params, x, mask)

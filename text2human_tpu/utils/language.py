@@ -249,6 +249,10 @@ def generate_shape_attributes(
             sims = dot_score(user_emb, enc(OUTER_TYPES))
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
+                # reference quirk kept for parity (language_utils.py:243):
+                # the OUTER_TYPES argmax index is looked up in the shorter
+                # OUTER_SHAPE_TEXT bank, overwriting attr[6]; the reference
+                # would IndexError for arg >= 4 — we keep attr[6] instead
                 attr[6] = OUTER_SHAPE_ATTR[OUTER_SHAPE_TEXT[arg]] if arg < len(
                     OUTER_SHAPE_TEXT
                 ) else attr[6]
