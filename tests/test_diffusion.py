@@ -229,3 +229,131 @@ def test_train_loss_matches_torch_replica(rng):
 
     np.testing.assert_allclose(float(vb), float(vb_torch.mean()), rtol=1e-5)
     np.testing.assert_allclose(float(loss), float(loss_torch), rtol=1e-5)
+
+
+# -- autoregressive (causal) sampler mode ------------------------------------
+
+
+AR_CFG_KW = dict(
+    codebook_size=12, segm_codebook_size=8, texture_codebook_size=2,
+    n_emb=16, n_layers=2, n_head=2, block_size=16, latent_shape=(4, 4),
+    num_output_heads=2, sampler="autoregressive",
+)
+
+
+def test_sample_autoregressive_teacher_forcing_replay(rng):
+    """The scan decode is exactly the AR factorization: replaying the final
+    sequence through ONE full causal forward and re-sampling each position
+    with its per-step key reproduces every token (this fails if causal
+    masking leaks future placeholder tokens into past logits, or if the
+    loop's shift/key bookkeeping drifts)."""
+    from text2human_tpu.config import TransformerConfig
+    from text2human_tpu.diffusion.absorbing import (
+        _shift_right,
+        sample_autoregressive,
+    )
+    from text2human_tpu.models.transformer import TransformerMultiHead
+
+    cfg = TransformerConfig(**AR_CFG_KW)
+    b, t_len, c = 2, cfg.block_size, cfg.head_class_num
+    diff = AbsorbingDiffusion(
+        mask_id=cfg.codebook_size, num_tokens=t_len, n_embed_per_head=c
+    )
+    model = TransformerMultiHead(cfg)
+    dummy = jnp.zeros((1, t_len), jnp.int32)
+    params = model.init(jax.random.key(0), dummy, dummy, dummy)["params"]
+    segm = jnp.asarray(rng.integers(0, 8, (b, t_len)), jnp.int32)
+    tex = jnp.asarray(rng.integers(0, 2, (b, t_len)), jnp.int32)
+
+    def denoise(x_t):
+        return model.apply({"params": params}, x_t, segm, tex, select_heads=True)
+
+    key = jax.random.key(5)
+    local, cont = jax.jit(
+        lambda k: sample_autoregressive(k, diff, denoise, tex)
+    )(key)
+    local, cont = np.asarray(local), np.asarray(cont)
+    assert local.min() >= 0 and local.max() < c
+    np.testing.assert_array_equal(cont, local + c * np.asarray(tex))
+
+    # teacher-forcing replay: one full forward over the final stream
+    logits = np.asarray(denoise(_shift_right(jnp.asarray(cont))))
+    keys = jax.random.split(key, t_len)
+    for i in range(t_len):
+        resampled = jax.random.categorical(
+            keys[i], jnp.asarray(logits[:, i], jnp.float32), axis=-1
+        )
+        np.testing.assert_array_equal(np.asarray(resampled), local[:, i], err_msg=f"position {i}")
+
+
+def test_ar_train_loss_perfect_and_ignore(rng):
+    """Perfect next-token model -> ~0 loss; gt_local=-1 positions are inert."""
+    from text2human_tpu.diffusion.absorbing import ar_train_loss
+
+    b, t_len, k, c = 2, 12, 3, 12
+    gt = rng.integers(0, c, (b, t_len))
+    tex = rng.integers(0, k, (b, t_len))
+    x0_cont = jnp.asarray(gt + c * tex, jnp.int32)
+
+    def perfect(x_t):
+        onehot = jax.nn.one_hot(jnp.asarray(gt), c) * 100.0
+        return jnp.broadcast_to(onehot[:, :, None, :], (b, t_len, k, c))
+
+    loss, _ = ar_train_loss(perfect, x0_cont, jnp.asarray(gt), jnp.asarray(tex))
+    assert float(loss) < 1e-3
+
+    def uniform(x_t):
+        return jnp.zeros((b, t_len, k, c))
+
+    loss_u, _ = ar_train_loss(uniform, x0_cont, jnp.asarray(gt), jnp.asarray(tex))
+    np.testing.assert_allclose(float(loss_u), np.log(c), rtol=1e-5)
+
+    # ignored positions don't contribute: poison their logits, mark them -1
+    gt_ig = np.asarray(gt).copy()
+    gt_ig[:, ::3] = -1
+
+    def poisoned(x_t):
+        base = np.zeros((b, t_len, k, c), np.float32)
+        base[:, ::3] = 1e4  # wildly wrong where ignored
+        return jnp.asarray(base)
+
+    loss_p, _ = ar_train_loss(
+        poisoned, x0_cont, jnp.asarray(gt_ig), jnp.asarray(tex)
+    )
+    valid = (gt_ig >= 0).sum()
+    np.testing.assert_allclose(float(loss_p), np.log(c), rtol=1e-5)
+    assert valid < gt_ig.size
+
+
+def test_sampler_trainer_autoregressive_mode(rng):
+    """End-to-end trainer dispatch: causal train step + left-to-right decode."""
+    import pytest
+
+    from text2human_tpu.config import TransformerConfig
+    from text2human_tpu.trainers.sampler import SamplerTrainConfig, SamplerTrainer
+
+    cfg = TransformerConfig(**AR_CFG_KW)
+    with pytest.raises(ValueError, match="no timesteps"):
+        SamplerTrainer(
+            cfg, train_cfg=SamplerTrainConfig(time_sampling="importance", loss_type="elbo")
+        )
+    trainer = SamplerTrainer(cfg)
+    assert trainer.autoregressive and not trainer.fused_attn
+    b, t = 4, cfg.block_size
+    c = cfg.head_class_num
+    tex = rng.integers(0, 2, (b, t))
+    local = rng.integers(0, c, (b, t))
+    tokens = {
+        "x0_cont": jnp.asarray(local + c * tex, jnp.int32),
+        "gt_local": jnp.asarray(local, jnp.int32),
+        "segm_tokens": jnp.asarray(rng.integers(0, 8, (b, t)), jnp.int32),
+        "texture_tokens": jnp.asarray(tex, jnp.int32),
+    }
+    state = trainer.init_state(jax.random.key(0))
+    state, metrics = trainer.train_step(state, tokens, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    loc, cont = trainer.sample(
+        state.params, tokens["segm_tokens"], tokens["texture_tokens"], jax.random.key(2)
+    )
+    loc = np.asarray(loc)
+    assert loc.min() >= 0 and loc.max() < c

@@ -125,3 +125,25 @@ def test_sample_from_pose_end_to_end(rng):
     assert segm.shape == (b, RES, RES // 2)
     assert int(segm.max()) < 24
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_sample_from_parsing_autoregressive_mode(rng):
+    """sampler: 'autoregressive' decodes left-to-right through the same
+    composite path (the causal trunk disables the fused attention kernel)."""
+    import dataclasses as _dc
+
+    cfgs = _dc.replace(
+        CFGS, transformer=_dc.replace(TF, sampler="autoregressive")
+    )
+    pipe = SamplePipeline(cfgs)
+    params = _init_params(pipe, rng)
+    b = 2
+    segm = jnp.asarray(rng.integers(0, 24, (b, RES, RES // 2)))
+    texture_mask = jnp.asarray(
+        rng.integers(0, 3, (b, RES, RES // 2)).astype(np.float32)
+    )
+    imgs = pipe.sample_from_parsing(params, jax.random.key(0), segm, texture_mask)
+    assert imgs.shape == (b, RES, RES // 2, 3)
+    arr = np.asarray(imgs)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= 0.0 and arr.max() <= 1.0

@@ -169,6 +169,93 @@ def train_loss(
     return loss.mean(), vb_loss.mean(), aux
 
 
+def _shift_right(x0_cont: jax.Array) -> jax.Array:
+    """Teacher-forcing input stream for the causal trunk: position j sees the
+    token at j-1; position 0 sees the start input (id 0 — the reference's
+    autoregressive mode adds no extra vocab slot, transformer_arch.py:203, so
+    the conditioning at position 0 is carried entirely by the positional +
+    segm + texture embeddings)."""
+    return jnp.concatenate(
+        [jnp.zeros_like(x0_cont[:, :1]), x0_cont[:, :-1]], axis=1
+    )
+
+
+def ar_train_loss(
+    denoise_fn: DenoiseFn,
+    x0_cont: jax.Array,
+    gt_local: jax.Array,
+    texture_tokens: jax.Array,
+) -> Tuple[jax.Array, dict]:
+    """Next-token cross-entropy for the causal (autoregressive) sampler mode.
+
+    The reference defines the causal trunk (transformer_arch.py:30-35,125-127)
+    but ships no training objective or decode loop for it (no config enables
+    it); this is the standard AR factorization over the same per-position
+    texture-selected heads: logits at position j (computed from tokens < j via
+    the shifted input stream) predict the local index at j.  Positions with
+    gt_local < 0 (never produced by the tokenizers, kept for symmetry with the
+    diffusion loss) are ignored.
+    """
+    logits = denoise_fn(_shift_right(x0_cont))
+    sel = logits if logits.ndim == 3 else select_head_logits(logits, texture_tokens)
+    logp = jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(
+        logp, jnp.maximum(gt_local, 0)[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    valid = gt_local >= 0
+    ce = jnp.where(valid, ce, 0.0)
+    denom = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    loss = jnp.sum(ce) / denom
+    return loss, {"masked_frac": jnp.zeros(())}
+
+
+def sample_autoregressive(
+    key: jax.Array,
+    diffusion: AbsorbingDiffusion,
+    denoise_fn: DenoiseFn,
+    texture_tokens: jax.Array,
+    temp: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Left-to-right decode for the causal sampler mode, as a lax.scan over
+    positions.  Returns (local_indices [B,T], continual indices [B,T]) — the
+    same contract as :func:`sample_loop`.
+
+    Each step re-runs the full causal trunk on the current shifted stream (no
+    kv-cache: at T=512 the whole-sequence forward is one large MXU-friendly
+    batch, and causal masking makes unfilled tail positions provably inert —
+    exactness is asserted by the teacher-forcing replay test).
+    """
+    b, t_len = texture_tokens.shape
+    texture = texture_tokens.astype(jnp.int32)
+    cont = jnp.zeros((b, t_len), dtype=jnp.int32)
+    local = jnp.full((b, t_len), -1, dtype=jnp.int32)
+
+    def body(carry, args):
+        cont, local = carry
+        i, step_key = args
+        logits = denoise_fn(_shift_right(cont))
+        sel = logits if logits.ndim == 3 else select_head_logits(logits, texture)
+        row = jax.lax.dynamic_slice_in_dim(sel, i, 1, axis=1)[:, 0] / temp
+        sampled = jax.random.categorical(
+            step_key, row.astype(jnp.float32), axis=-1
+        ).astype(jnp.int32)
+        tex_i = jax.lax.dynamic_slice_in_dim(texture, i, 1, axis=1)[:, 0]
+        cont_i = sampled + diffusion.n_embed_per_head * tex_i
+        cont = jax.lax.dynamic_update_slice_in_dim(
+            cont, cont_i[:, None], i, axis=1
+        )
+        local = jax.lax.dynamic_update_slice_in_dim(
+            local, sampled[:, None], i, axis=1
+        )
+        return (cont, local), None
+
+    keys = jax.random.split(key, t_len)
+    (cont, local), _ = jax.lax.scan(
+        body, (cont, local), (jnp.arange(t_len), keys)
+    )
+    return local, cont
+
+
 def sample_loop(
     key: jax.Array,
     diffusion: AbsorbingDiffusion,

@@ -31,7 +31,11 @@ from text2human_tpu.config import (
     UNetConfig,
     VQGANConfig,
 )
-from text2human_tpu.diffusion.absorbing import AbsorbingDiffusion, sample_loop
+from text2human_tpu.diffusion.absorbing import (
+    AbsorbingDiffusion,
+    sample_autoregressive,
+    sample_loop,
+)
 from text2human_tpu.models.composites import (
     HierarchyVQ,
     IndexPredictionNet,
@@ -180,6 +184,8 @@ class SamplePipeline:
         # flash: whole-sequence fused attention keeps the [T,T] scores in
         # VMEM (ops/attn_pallas.py) — removes the score-matrix HBM traffic
         # that made round-1 throughput peak at batch 4.
+        autoregressive = self.cfgs.transformer.sampler == "autoregressive"
+
         def apply_trunk(p, x_t, st, tt):
             return self.denoiser.apply(
                 {"params": p},
@@ -187,7 +193,9 @@ class SamplePipeline:
                 st,
                 tt,
                 select_heads=True,
-                flash=self.fused_attn,
+                # the fused whole-sequence kernel is non-causal; the causal
+                # (autoregressive) mode decodes through the einsum path
+                flash=self.fused_attn and not autoregressive,
                 ragged_heads=self.ragged_heads,
             )
 
@@ -208,9 +216,14 @@ class SamplePipeline:
                 params["sampler"], x_t, segm_tokens, texture_tokens
             )
 
-        local, _ = sample_loop(
-            key, self.diffusion, denoise, texture_tokens, sample_steps
-        )
+        if autoregressive:
+            local, _ = sample_autoregressive(
+                key, self.diffusion, denoise, texture_tokens
+            )
+        else:
+            local, _ = sample_loop(
+                key, self.diffusion, denoise, texture_tokens, sample_steps
+            )
         return local
 
     def sample_indices(self, params, key, segm_tokens, texture_tokens, sample_steps=0):

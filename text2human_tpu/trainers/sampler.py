@@ -23,7 +23,9 @@ from text2human_tpu.config import (
 )
 from text2human_tpu.diffusion.absorbing import (
     AbsorbingDiffusion,
+    ar_train_loss,
     init_importance_state,
+    sample_autoregressive,
     sample_loop,
     train_loss,
 )
@@ -62,6 +64,15 @@ class SamplerTrainer:
     ):
         self.tf_cfg = tf_cfg
         self.cfg = train_cfg
+        # optional causal mode (reference transformer_arch.py:30-35,125-127 —
+        # defined but never enabled by a reference config): next-token CE
+        # training + left-to-right decode instead of the diffusion objective
+        self.autoregressive = tf_cfg.sampler == "autoregressive"
+        if self.autoregressive and train_cfg.time_sampling == "importance":
+            raise ValueError(
+                "time_sampling='importance' applies to the diffusion "
+                "objective only; the autoregressive mode has no timesteps"
+            )
         if train_cfg.time_sampling == "importance" and train_cfg.loss_type != "elbo":
             # only the ELBO objective divides by pt; importance-sampling t
             # under mlm/reweighted_elbo would silently bias the gradient
@@ -88,7 +99,10 @@ class SamplerTrainer:
         # the backward): auto on TPU when attention dropout is off (the
         # kernel has no dropout support; reference configs use 0)
         self.fused_attn = (
-            jax.default_backend() == "tpu" and tf_cfg.attn_pdrop == 0.0
+            jax.default_backend() == "tpu"
+            and tf_cfg.attn_pdrop == 0.0
+            # the fused whole-sequence kernel is non-causal by construction
+            and not self.autoregressive
         )
         self._tokenize = jax.jit(self._tokenize_impl)
         self._step = jax.jit(self._train_step, donate_argnums=(0,))
@@ -157,6 +171,14 @@ class SamplerTrainer:
                     rngs={"dropout": drop_key},
                 )
 
+            if self.autoregressive:
+                loss, aux = ar_train_loss(
+                    denoise,
+                    tokens["x0_cont"],
+                    tokens["gt_local"],
+                    tokens["texture_tokens"],
+                )
+                return loss, {"loss": loss, "vb_loss": loss, **aux}
             loss, vb, aux = train_loss(
                 diff_key,
                 self.diffusion,
@@ -190,6 +212,14 @@ class SamplerTrainer:
                 flash=self.fused_attn,
             )
 
+        if self.autoregressive:
+            loss, _ = ar_train_loss(
+                denoise,
+                tokens["x0_cont"],
+                tokens["gt_local"],
+                tokens["texture_tokens"],
+            )
+            return {"loss": loss, "vb_loss": loss}
         loss, vb, _ = train_loss(
             key,
             self.diffusion,
@@ -223,4 +253,8 @@ class SamplerTrainer:
                 flash=self.fused_attn,
             )
 
+        if self.autoregressive:
+            return sample_autoregressive(
+                key, self.diffusion, denoise, texture_tokens, temp
+            )
         return sample_loop(key, self.diffusion, denoise, texture_tokens, steps, temp)
