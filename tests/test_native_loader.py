@@ -121,3 +121,23 @@ def test_palette_png_keeps_indices(tmp_path, rng):
     got2 = nl.decode_image(str(path), downsample=2, filter=nl.NEAREST)
     want2 = np.array(PIL_Image.open(path).resize((6, 8), PIL_Image.NEAREST))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_decode_channel_matches_slice(tmp_path, rng):
+    """Native channel-select (densepose-IUV fast path) equals decoding all
+    channels then slicing, at native and downsampled geometry."""
+    arr = rng.integers(0, 255, (32, 24, 3)).astype(np.uint8)
+    path = tmp_path / "iuv.png"
+    PIL_Image.fromarray(arr).save(path)
+
+    for ch in range(3):
+        got = nl.decode_channel(str(path), channel=ch)
+        np.testing.assert_array_equal(got, arr[:, :, ch])
+    got2 = nl.decode_channel(str(path), channel=2, downsample=2, filter=nl.NEAREST)
+    want2 = np.array(
+        PIL_Image.open(path).resize((12, 16), PIL_Image.NEAREST)
+    )[:, :, 2]
+    np.testing.assert_array_equal(got2, want2)
+
+    with pytest.raises(IOError):
+        nl.decode_channel(str(path), channel=5)

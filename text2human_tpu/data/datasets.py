@@ -101,7 +101,17 @@ class _FlatFileDataset:
 
     def _densepose(self, pose_dir: str, fname: str) -> np.ndarray:
         name = f"{fname[:-4]}_densepose.png"
-        arr = _load_resized(osp.join(pose_dir, name), self.downsample_factor, Image.NEAREST)
+        path = osp.join(pose_dir, name)
+        if _use_native_loader():
+            from text2human_tpu.data import native_loader as nl
+
+            # channel select happens before the resample in C++ (1/3 the work)
+            arr = nl.decode_channel(
+                path, channel=2, downsample=self.downsample_factor,
+                filter=nl.NEAREST,
+            )
+            return arr[:, :, None].astype(np.float32)
+        arr = _load_resized(path, self.downsample_factor, Image.NEAREST)
         return arr[:, :, 2:].astype(np.float32)  # keep I channel, [H,W,1]
 
     def _segm(self, segm_dir: str, fname: str) -> np.ndarray:

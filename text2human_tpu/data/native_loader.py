@@ -83,6 +83,12 @@ def load_library(rebuild: bool = False) -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.t2h_decode_image.restype = ctypes.c_int
+        lib.t2h_decode_channel.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.t2h_decode_channel.restype = ctypes.c_int
         lib.t2h_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int,
@@ -127,6 +133,29 @@ def decode_image(
     if rc != 0:
         raise IOError(f"native decode failed for {path} (rc={rc})")
     return out[..., 0] if c == 1 else out
+
+
+def decode_channel(
+    path: str,
+    channel: int,
+    downsample: int = 1,
+    filter: int = NEAREST,
+) -> np.ndarray:
+    """Decode a single channel -> uint8 [H, W] (densepose-IUV fast path: the
+    datasets keep only channel 2, the I plane; selecting natively before the
+    resample does a third of the filter work)."""
+    lib = load_library()
+    h, w, _ = image_size(path)
+    oh, ow = h // downsample, w // downsample
+    out = np.empty((oh, ow), np.uint8)
+    rc = lib.t2h_decode_channel(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        oh, ow, channel, filter,
+    )
+    if rc != 0:
+        raise IOError(f"native channel decode failed for {path} (rc={rc})")
+    return out
 
 
 def decode_batch(
