@@ -139,16 +139,23 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
             segm = np.asarray(segm[:n])
         return [(to_uint8(imgs[i]), segm_to_palette(segm[i])) for i in range(n)]
 
+    # the AR decode ignores sample_steps (it always runs one pass per
+    # position) — collapse it in the group key so step-count variations
+    # still coalesce into one batch / one compiled program
+    ar = pipe.cfgs.transformer.sampler == "autoregressive"
     return DynamicBatcher(
         run_batch,
         max_batch=max_batch,
         window_ms=window_ms,
         # different pose shapes / step counts are different compiled programs
-        group_key=lambda it: (it["pose_i"].shape, it["steps"]),
+        group_key=lambda it: (it["pose_i"].shape, 0 if ar else it["steps"]),
+        # a cold start with an empty XLA cache compiles the full pipeline
+        # (minutes over the serving tunnel); queued requests must outlive it
+        result_timeout_s=1800.0,
     )
 
 
-def make_handler(session, opt, lock, batcher=None, stats=None):
+def make_handler(session, opt, lock, batcher, stats=None):
     from PIL import Image
 
     from text2human_tpu.ui.session import segm_to_palette
@@ -347,7 +354,8 @@ def main(argv=None):
         type=int,
         default=4,
         help="dynamic batching for /generate: coalesce up to N concurrent "
-        "requests into one TPU batch (1 disables)",
+        "requests into one padded TPU batch (1 = one request per batch; "
+        "the batcher itself is always on)",
     )
     parser.add_argument(
         "--batch-window-ms",

@@ -44,11 +44,15 @@ class DynamicBatcher:
         max_batch: int = 8,
         window_ms: float = 30.0,
         group_key: Callable[[Any], Any] = lambda item: None,
+        result_timeout_s: float = 600.0,
     ):
         self.run_batch = run_batch
         self.max_batch = max(1, int(max_batch))
         self.window_s = max(0.0, float(window_ms)) / 1000.0
         self.group_key = group_key
+        # default deadline for submit(); size it to survive the worst-case
+        # run_batch (e.g. a cold-start XLA compile), not the steady state
+        self.result_timeout_s = float(result_timeout_s)
         self._queue: "queue.Queue" = queue.Queue()
         # observability (tests + /metrics): recent batch sizes (bounded —
         # a long-lived server must not grow this forever) + running totals
@@ -58,11 +62,14 @@ class DynamicBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, item: Any, timeout: float = 600.0) -> Any:
-        """Enqueue one request and block until its result is ready."""
+    def submit(self, item: Any, timeout: float = None) -> Any:
+        """Enqueue one request and block until its result is ready (at most
+        ``timeout`` seconds, defaulting to the constructor's deadline)."""
         fut: Future = Future()
         self._queue.put((item, fut))
-        return fut.result(timeout=timeout)
+        return fut.result(
+            timeout=self.result_timeout_s if timeout is None else timeout
+        )
 
     # -- worker ---------------------------------------------------------
 

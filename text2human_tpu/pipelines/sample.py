@@ -227,7 +227,13 @@ class SamplePipeline:
         return local
 
     def sample_indices(self, params, key, segm_tokens, texture_tokens, sample_steps=0):
-        steps = sample_steps or self.cfgs.sample_steps
+        if self.cfgs.transformer.sampler == "autoregressive":
+            # the AR decode always runs one pass per position and ignores
+            # sample_steps; normalize the static jit arg so different step
+            # counts don't recompile an identical program
+            steps = 0
+        else:
+            steps = sample_steps or self.cfgs.sample_steps
         return self._sample(params, key, segm_tokens, texture_tokens, steps)
 
     # -- stage II decode: top indices -> image (sample_model.py:215-254)
