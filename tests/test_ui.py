@@ -135,3 +135,31 @@ def test_demo_cli_end_to_end(tmp_path):
     from text2human_tpu.ui.session import palette_to_segm
 
     assert palette_to_segm(parsing).max() < 24
+
+
+def test_pose_i_from_iuv_matches_reference_semantics(rng):
+    """ui_demo.py:90-95: the demo LANCZOS-resizes the IUV image to the model
+    resolution and then keeps channel 2; our helper must match that replica
+    (NOT the datasets' NEAREST convention, and NOT strided subsampling)."""
+    from PIL import Image
+
+    from text2human_tpu.ui.session import pose_i_from_iuv
+
+    iuv = rng.integers(0, 25, (64, 32, 3)).astype(np.uint8)
+    want = np.array(
+        Image.fromarray(iuv).resize(size=(16, 32), resample=Image.LANCZOS)
+    )[:, :, 2].astype(np.float32)
+    got = pose_i_from_iuv(iuv, (32, 16))
+    np.testing.assert_array_equal(got, want)
+
+    # 2-D input = already-extracted I map: resized only
+    imap = iuv[:, :, 2]
+    want2 = np.array(
+        Image.fromarray(imap).resize(size=(16, 32), resample=Image.LANCZOS)
+    ).astype(np.float32)
+    np.testing.assert_array_equal(pose_i_from_iuv(imap, (32, 16)), want2)
+
+    # identity at the target size (serving full-res poses untouched)
+    np.testing.assert_array_equal(
+        pose_i_from_iuv(iuv, (64, 32)), iuv[:, :, 2].astype(np.float32)
+    )

@@ -50,13 +50,14 @@ def main(argv=None):
     params = load_params(pipe, opt, args.synthetic)
     sess = InteractiveSession(pipe, params, seed=opt.get("manual_seed") or 0)
 
+    res = opt.get("synthetic_resolution") or opt.get("top_resolution") or 512
     if args.pose:
-        iuv = np.array(Image.open(args.pose))
-        pose_i = iuv[:, :, 2].astype(np.float32)
-        factor = opt.get("downsample_factor") or 2
-        pose_i = pose_i[::factor, ::factor]
+        from text2human_tpu.ui.session import pose_i_from_iuv
+
+        # reference demo semantics: LANCZOS-resize the IUV to the model
+        # resolution, then keep the I channel (ui_demo.py:90-95)
+        pose_i = pose_i_from_iuv(np.array(Image.open(args.pose)), (res, res // 2))
     else:
-        res = opt.get("synthetic_resolution") or opt.get("top_resolution") or 512
         pose_i = np.random.default_rng(0).uniform(0, 24, (res, res // 2)).astype(
             np.float32
         )

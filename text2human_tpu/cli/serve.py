@@ -170,18 +170,20 @@ def make_handler(session, opt, lock, batcher, stats=None):
 
     def decode_pose(req):
         """densepose I-channel from the request PNG, or a synthetic one."""
-        if req.get("pose_png_b64"):
-            iuv = np.array(
-                Image.open(io.BytesIO(base64.b64decode(req["pose_png_b64"])))
-            )
-            pose_i = iuv[..., 2] if iuv.ndim == 3 else iuv
-            factor = opt.get("downsample_factor") or 2
-            return pose_i[::factor, ::factor].astype(np.float32)
         res = (
             opt.get("synthetic_resolution")
             or opt.get("top_resolution")
             or 512
         )
+        if req.get("pose_png_b64"):
+            from text2human_tpu.ui.session import pose_i_from_iuv
+
+            iuv = np.array(
+                Image.open(io.BytesIO(base64.b64decode(req["pose_png_b64"])))
+            )
+            # reference demo semantics: LANCZOS to the model resolution,
+            # then keep the I channel (ui_demo.py:90-95)
+            return pose_i_from_iuv(iuv, (res, res // 2))
         return np.random.default_rng(0).uniform(
             0, 24, (res, res // 2)
         ).astype(np.float32)

@@ -51,6 +51,25 @@ def normalize_densepose(densepose_i: np.ndarray) -> np.ndarray:
     return np.asarray(densepose_i, np.float32) / 12.0 - 1.0
 
 
+def pose_i_from_iuv(iuv: np.ndarray, target_hw) -> np.ndarray:
+    """User-supplied IUV image -> I-channel at the model resolution.
+
+    Matches the reference demo exactly (ui_demo.py:90-95): LANCZOS-resize the
+    IUV image to (width, height) = (W, H), THEN keep channel 2.  (The
+    datasets resize densepose with NEAREST — the reference's demo quirkily
+    uses LANCZOS for interactive input; kept for output parity.)  A 2-D input
+    is treated as an already-extracted I map and only resized."""
+    from PIL import Image
+
+    h, w = target_hw
+    arr = np.asarray(iuv)
+    img = Image.fromarray(arr.astype(np.uint8))
+    out = np.array(img.resize((w, h), resample=Image.LANCZOS))
+    if out.ndim == 3:
+        out = out[:, :, 2]
+    return out.astype(np.float32)
+
+
 def palette_to_segm(rgb: np.ndarray) -> np.ndarray:
     """[H,W,3] RGB -> [H,W] class ids (exact-match decode, ui_demo.py:143-148)."""
     rgb = np.asarray(rgb, np.int64)
