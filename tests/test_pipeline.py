@@ -147,3 +147,43 @@ def test_sample_from_parsing_autoregressive_mode(rng):
     arr = np.asarray(imgs)
     assert np.isfinite(arr).all()
     assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_cast_sampler_params_bf16(rng):
+    """The bf16 memory knob: every sampler float leaf except LayerNorm
+    params is cast, other components untouched, and the pipeline still
+    decodes cleanly with the cast tree (serve --bf16-sampler path)."""
+    from text2human_tpu.pipelines.sample import cast_sampler_params
+
+    pipe = SamplePipeline(CFGS)
+    params = _init_params(pipe, rng)
+    cast = cast_sampler_params(params)
+
+    def check(path, leaf):
+        parts = [str(getattr(p, "key", p)) for p in path]
+        if any(p.startswith("ln") for p in parts):
+            assert leaf.dtype == jnp.float32, parts
+        elif np.issubdtype(leaf.dtype, np.floating):
+            assert leaf.dtype == jnp.bfloat16, parts
+
+    jax.tree_util.tree_map_with_path(check, cast["sampler"])
+    # norms really exist in the tree (the exclusion must have matched)
+    flat = jax.tree_util.tree_flatten_with_path(cast["sampler"])[0]
+    assert any(
+        "ln" in "".join(str(getattr(p, "key", p)) for p in path)
+        for path, _ in flat
+    )
+    # non-sampler components untouched
+    jax.tree.map(
+        lambda a, b: a.dtype == b.dtype or (_ for _ in ()).throw(AssertionError),
+        cast["hierarchy"],
+        params["hierarchy"],
+    )
+
+    b = 2
+    segm = jnp.asarray(rng.integers(0, 24, (b, RES, RES // 2)))
+    mask = jnp.asarray(rng.integers(0, 3, (b, RES, RES // 2)).astype(np.float32))
+    imgs = pipe.sample_from_parsing(cast, jax.random.key(0), segm, mask, 4)
+    arr = np.asarray(imgs)
+    assert np.isfinite(arr).all()
+    assert arr.min() >= 0.0 and arr.max() <= 1.0

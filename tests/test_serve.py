@@ -167,7 +167,22 @@ def test_serve_generate_roundtrip():
             urllib.request.urlopen(bad, timeout=30)
             raise AssertionError("expected HTTPError")
         except urllib.error.HTTPError as e:
-            assert e.code == 500
+            assert e.code == 400  # malformed JSON is a client error
+
+        # client-controlled sample_steps is a static jit arg: arbitrary
+        # values must be rejected (recompile-DoS), the configured count and
+        # 0/omitted accepted
+        bad_steps = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"sample_steps": 7}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad_steps, timeout=30)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert b"sample_steps" in e.read()
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/healthz", timeout=30
         ) as r:

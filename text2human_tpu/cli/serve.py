@@ -168,6 +168,24 @@ def make_handler(session, opt, lock, batcher, stats=None):
         Image.fromarray(arr_uint8).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode()
 
+    def sanitize_steps(req):
+        """Clamp client-controlled sample_steps to the configured program.
+
+        sample_steps is a STATIC jit argument: every distinct value is a
+        full-pipeline XLA recompile (minutes over a serving tunnel) executed
+        under the shared TPU lock — leaving it open is a recompile-DoS and
+        splits otherwise-identical requests across batcher groups.  Requests
+        may ask for the configured step count (explicitly or by omission);
+        anything else is a 400."""
+        steps = int(req.get("sample_steps", 0) or 0)
+        default = int(session.pipe.cfgs.sample_steps)
+        if steps in (0, default):
+            return 0  # one canonical value -> one program, one batch group
+        raise ValueError(
+            f"sample_steps={steps} not served (configured: {default}); "
+            "distinct step counts are distinct compiled programs"
+        )
+
     def decode_pose(req):
         """densepose I-channel from the request PNG, or a synthetic one."""
         res = (
@@ -241,6 +259,8 @@ def make_handler(session, opt, lock, batcher, stats=None):
                     payload = payload()
                 self._send(code, payload)
                 ok = code < 400
+            except ValueError as e:  # input validation -> client error
+                self._send(400, {"error": str(e)})
             except Exception as e:  # report, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
@@ -257,7 +277,7 @@ def make_handler(session, opt, lock, batcher, stats=None):
         def _route_generate(self, req):
             shape_text = req.get("shape_text", "a woman, T-shirt, pants")
             texture_text = req.get("texture_text", "pure color, pure color")
-            steps = int(req.get("sample_steps", 0))
+            steps = sanitize_steps(req)
             # always served through the batcher (a max-batch-1 batcher just
             # runs singles): the stateless route must never mutate the shared
             # InteractiveSession a /session/* user is editing through
@@ -310,7 +330,7 @@ def make_handler(session, opt, lock, batcher, stats=None):
         def _route_session_generate(self, req):
             img01 = session.generate_human(
                 req.get("texture_text", ""),
-                sample_steps=int(req.get("sample_steps", 0)),
+                sample_steps=sanitize_steps(req),
             )
             img_u8 = to_uint8(img01)
             return 200, lambda: {"image_png_b64": png_b64(img_u8)}
@@ -322,7 +342,12 @@ def make_handler(session, opt, lock, batcher, stats=None):
 
 
 def build_server(
-    opt, synthetic: bool, port: int, max_batch: int = 1, window_ms: float = 30.0
+    opt,
+    synthetic: bool,
+    port: int,
+    max_batch: int = 1,
+    window_ms: float = 30.0,
+    bf16_sampler: bool = False,
 ):
     """/generate is always served through the dynamic batcher (so it never
     touches the shared interactive session); ``max_batch > 1`` lets
@@ -336,6 +361,12 @@ def build_server(
     opt["model_type"] = "SampleFromPoseModel"
     pipe = build_pipeline(opt)
     params = load_params(pipe, opt, synthetic)
+    if bf16_sampler:
+        # halve the sampler trunk's HBM footprint (speed-neutral on v5e;
+        # BENCHMARKS.md) for deployments co-locating several models per chip
+        from text2human_tpu.pipelines.sample import cast_sampler_params
+
+        params = cast_sampler_params(params)
     session = InteractiveSession(pipe, params, seed=opt.get("manual_seed") or 0)
     lock = threading.Lock()
     batcher = make_batched_generate(session, opt, lock, max_batch, window_ms)
@@ -365,6 +396,12 @@ def main(argv=None):
         default=30.0,
         help="how long the first queued request waits for company",
     )
+    parser.add_argument(
+        "--bf16-sampler",
+        action="store_true",
+        help="store the sampler trunk's weights in bfloat16 (halves its HBM "
+        "footprint; measured speed-neutral — BENCHMARKS.md)",
+    )
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -383,6 +420,7 @@ def main(argv=None):
     server = build_server(
         opt, args.synthetic, args.port,
         max_batch=args.max_batch, window_ms=args.batch_window_ms,
+        bf16_sampler=args.bf16_sampler,
     )
     print(f"serving on http://127.0.0.1:{args.port}  (UI at /, POST /generate)")
     server.serve_forever()

@@ -462,6 +462,10 @@ def main(argv=None):
                 f"step {current_iter}"
             )
 
+    # bind epoch before the loop: if start_epoch >= num_epochs (resuming an
+    # already-finished run) the body never runs, and the preemption branch
+    # below must still be able to write an epoch-named checkpoint
+    epoch = start_epoch
     for epoch in range(start_epoch, num_epochs):
         for batch in loader:
             lr = loop.set_lr(epoch, current_iter)
@@ -492,16 +496,13 @@ def main(argv=None):
                 loop.save_visuals(first, opt["path"]["visualization"], epoch)
             except Exception as e:  # visualization must never kill training
                 logger.warning(f"visualization failed: {e}")
-            # checkpoint EVERY val epoch with the epoch in the name (reference
-            # train_vqvae.py:126-128); 'best' additionally tracks the
+            # update the best-metric watermark FIRST so the epoch checkpoint
+            # is written once, already stamped with it (a resume from it can
+            # then never regress models/best); 'best' tracks the
             # trainer-declared metric instead of a guessy fallback chain
-            ckpt_writer.save(
-                osp.join(opt["path"]["models"], str(epoch)),
-                {"state": loop.state, "epoch": epoch,
-                 "best": float("nan") if best is None else best},
-            )
             metric_name, metric_mode = getattr(trainer, "val_metric", ("loss", "min"))
             score = val.get(metric_name)
+            better = False
             if score is None:
                 logger.warning(
                     f"val metric {metric_name!r} missing from {sorted(val)}; "
@@ -514,19 +515,21 @@ def main(argv=None):
                 )
                 if better:
                     best = score
-                    ckpt_writer.save(
-                        osp.join(opt["path"]["models"], "best"),
-                        {"state": loop.state, "epoch": epoch, "best": best},
-                    )
-                    # re-stamp the epoch checkpoint with the new watermark so
-                    # a resume from it cannot regress models/best
-                    ckpt_writer.save(
-                        osp.join(opt["path"]["models"], str(epoch)),
-                        {"state": loop.state, "epoch": epoch, "best": best},
-                    )
-                    logger.info(
-                        f"new best {metric_name}={score:.6g} at epoch {epoch}"
-                    )
+            # checkpoint EVERY val epoch with the epoch in the name (reference
+            # train_vqvae.py:126-128)
+            ckpt_writer.save(
+                osp.join(opt["path"]["models"], str(epoch)),
+                {"state": loop.state, "epoch": epoch,
+                 "best": float("nan") if best is None else best},
+            )
+            if better:
+                ckpt_writer.save(
+                    osp.join(opt["path"]["models"], "best"),
+                    {"state": loop.state, "epoch": epoch, "best": best},
+                )
+                logger.info(
+                    f"new best {metric_name}={score:.6g} at epoch {epoch}"
+                )
 
     if PREEMPTED.is_set():
         # preemption checkpoint: epoch-named so latest_checkpoint/--resume

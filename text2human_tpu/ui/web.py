@@ -98,7 +98,10 @@ INDEX_HTML = """<!DOCTYPE html>
     <h2>2 · Parsing (click/drag to paint)</h2>
     <canvas id="parsing" width="256" height="512"></canvas>
     <div>
-      <label>Brush <input type="range" id="brush" min="1" max="31" value="9" style="width:120px"></label>
+      <!-- odd sizes only: the server brush paints a side-(2*(b//2)+1)
+           square (ui/session.py paint), so an even preview would commit
+           one row/column larger than what the user drew -->
+      <label>Brush <input type="range" id="brush" min="1" max="31" step="2" value="9" style="width:120px"></label>
       <button id="undo">Undo stroke</button>
     </div>
   </div>
@@ -175,10 +178,11 @@ function canvasPoint(ev) {
   return [y, x];
 }
 function paintLocal(y, x) {
+  // match the server geometry exactly: side 2*(b>>1)+1 centered on (x, y)
   const b = +document.getElementById('brush').value, r0 = b >> 1;
   const c = PALETTE[cls];
   ctx.fillStyle = `rgb(${c[0]},${c[1]},${c[2]})`;
-  ctx.fillRect(x - r0, y - r0, b, b);
+  ctx.fillRect(x - r0, y - r0, 2 * r0 + 1, 2 * r0 + 1);
 }
 canvas.addEventListener('mousedown', ev => { drawing = true; stroke = [];
   const [y, x] = canvasPoint(ev); stroke.push([y, x]); paintLocal(y, x); });
