@@ -262,6 +262,9 @@ def test_sample_autoregressive_teacher_forcing_replay(rng):
     model = TransformerMultiHead(cfg)
     dummy = jnp.zeros((1, t_len), jnp.int32)
     params = model.init(jax.random.key(0), dummy, dummy, dummy)["params"]
+    # causal mode carries the reference's learned start embedding
+    # (transformer_arch.py:220); absorbing mode must not
+    assert "start_tok" in params
     segm = jnp.asarray(rng.integers(0, 8, (b, t_len)), jnp.int32)
     tex = jnp.asarray(rng.integers(0, 2, (b, t_len)), jnp.int32)
 

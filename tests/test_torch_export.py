@@ -58,3 +58,30 @@ def test_transformer_export_import_roundtrip():
 
     back = ti.transformer_params(exported, cfg.n_layers, cfg.num_output_heads)
     assert_trees_equal(back, params)
+
+
+def test_transformer_causal_roundtrip_start_tok():
+    """Autoregressive mode carries the reference's learned start_tok
+    (transformer_arch.py:220): exported in the [1,1,D] torch layout,
+    re-imported with causal=True, exact roundtrip."""
+    import dataclasses
+
+    cfg = TransformerConfig(
+        codebook_size=48, segm_codebook_size=16, texture_codebook_size=3,
+        n_emb=16, n_layers=2, n_head=2, block_size=12, latent_shape=(4, 3),
+        num_output_heads=3, sampler="autoregressive",
+    )
+    tok = jnp.zeros((1, cfg.block_size), jnp.int32)
+    params = TransformerMultiHead(cfg).init(jax.random.key(0), tok, tok, tok)["params"]
+    assert "start_tok" in params
+
+    exported = te.transformer_export(params)
+    assert exported["start_tok"].shape == (1, 1, cfg.n_emb)
+    back = ti.transformer_params(
+        exported, cfg.n_layers, cfg.num_output_heads, causal=True
+    )
+    assert_trees_equal(back, params)
+
+    # absorbing import of the same dict ignores the extra key
+    absorbing = ti.transformer_params(exported, cfg.n_layers, cfg.num_output_heads)
+    assert "start_tok" not in absorbing

@@ -171,10 +171,11 @@ def train_loss(
 
 def _shift_right(x0_cont: jax.Array) -> jax.Array:
     """Teacher-forcing input stream for the causal trunk: position j sees the
-    token at j-1; position 0 sees the start input (id 0 — the reference's
-    autoregressive mode adds no extra vocab slot, transformer_arch.py:203, so
-    the conditioning at position 0 is carried entirely by the positional +
-    segm + texture embeddings)."""
+    token at j-1.  Position 0's fill value (id 0) is inert — the causal
+    transformer replaces position 0's token embedding with its learned
+    ``start_tok`` (models/transformer.py, mirroring transformer_arch.py:220,
+    256-259), so the start of sequence is carried by that parameter plus the
+    positional/segm/texture embeddings."""
     return jnp.concatenate(
         [jnp.zeros_like(x0_cont[:, :1]), x0_cont[:, :-1]], axis=1
     )

@@ -192,8 +192,25 @@ class TransformerMultiHead(nn.Module):
             "texture_emb", init02, (cfg.texture_codebook_size, cfg.n_emb)
         )
 
+        tok = jnp.take(tok_emb, idx, axis=0)
+        if cfg.sampler == "autoregressive":
+            # learned start embedding (reference transformer_arch.py:220,
+            # 256-259 prepends ``start_tok``; with our fixed-length shifted
+            # stream, position 0's token embedding IS the start token — the
+            # shift provides real tokens for positions >= 1). Zeros init
+            # matches the reference parameter.
+            start = self.param(
+                "start_tok", nn.initializers.zeros, (cfg.n_emb,)
+            )
+            tok = jnp.concatenate(
+                [
+                    jnp.broadcast_to(start, (tok.shape[0], 1, cfg.n_emb)),
+                    tok[:, 1:],
+                ],
+                axis=1,
+            )
         x = (
-            jnp.take(tok_emb, idx, axis=0)
+            tok
             + pos_emb[None, : idx.shape[1]]
             + jnp.take(segm_emb, segm_tokens, axis=0)
             + jnp.take(texture_emb, texture_tokens, axis=0)

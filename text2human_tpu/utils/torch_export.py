@@ -115,6 +115,8 @@ def transformer_export(params: Dict) -> Dict[str, np.ndarray]:
         "segm_emb.weight": _np(params["segm_emb"]),
         "texture_emb.weight": _np(params["texture_emb"]),
     }
+    if "start_tok" in params:  # causal mode (transformer_arch.py:220)
+        sd["start_tok"] = _np(params["start_tok"]).reshape(1, 1, -1)
     norm_export(sd, "ln_f", params["ln_f"])
     blocks = params["blocks"]
     n_layers = _np(blocks["ln1"]["scale"]).shape[0]

@@ -169,9 +169,13 @@ def discriminator_params(sd: Dict, n_layers: int = 3) -> Tuple[Dict, Dict]:
     return params, stats
 
 
-def transformer_params(sd: Dict, n_layers: int, num_heads: int) -> Dict[str, Any]:
+def transformer_params(
+    sd: Dict, n_layers: int, num_heads: int, causal: bool = False
+) -> Dict[str, Any]:
     """TransformerMultiHead state dict (transformer_arch.py:184-235) -> our
-    scan-stacked layout."""
+    scan-stacked layout.  ``causal=True`` additionally maps the learned
+    ``start_tok`` (transformer_arch.py:220 — declared in every reference
+    checkpoint, consumed only by the autoregressive mode)."""
     out: Dict[str, Any] = {
         "tok_emb": _np(sd["tok_emb.weight"]),
         "pos_emb": _np(sd["pos_emb"]).reshape(-1, _np(sd["pos_emb"]).shape[-1]),
@@ -179,6 +183,8 @@ def transformer_params(sd: Dict, n_layers: int, num_heads: int) -> Dict[str, Any
         "texture_emb": _np(sd["texture_emb.weight"]),
         "ln_f": norm_scale_bias(sd, "ln_f"),
     }
+    if causal:
+        out["start_tok"] = _np(sd["start_tok"]).reshape(-1)
 
     def layer_tree(i: int) -> Dict[str, Any]:
         p = f"blocks.{i}"
