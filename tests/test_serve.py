@@ -120,8 +120,13 @@ def test_serve_generate_dynamic_batching():
 
 
 def test_serve_generate_roundtrip():
+    from text2human_tpu.cli.serve import warmup
+
     opt = parse("configs/debug/sample_from_pose_debug.yml", is_train=False)
     server = build_server(opt, synthetic=True, port=0)  # ephemeral port
+    # --warmup path: one synthetic batch compiles the pipeline pre-traffic
+    assert warmup(server) > 0
+    assert server.batcher.total_batches == 1
     port = server.server_address[1]
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()

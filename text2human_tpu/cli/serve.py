@@ -373,7 +373,32 @@ def build_server(
     handler = make_handler(session, opt, lock, batcher)
     server = ThreadingHTTPServer(("127.0.0.1", port), handler)
     server.batcher = batcher  # observability (tests, ops)
+    server.opt = opt  # warmup() needs the configured geometry
     return server
+
+
+def warmup(server) -> float:
+    """Push one synthetic request through the /generate batcher so the full
+    pipeline compiles (and lands in the persistent XLA cache) BEFORE the
+    server starts answering real traffic.  Returns the elapsed seconds."""
+    t0 = time.time()
+    server.batcher.submit(
+        {
+            "pose_i": np.random.default_rng(0)
+            .uniform(0, 24, _pose_shape(server))
+            .astype(np.float32),
+            "shape_text": "a woman, T-shirt, pants",
+            "texture_text": "pure color, pure color",
+            "steps": 0,
+        }
+    )
+    return time.time() - t0
+
+
+def _pose_shape(server):
+    opt = server.opt
+    res = opt.get("synthetic_resolution") or opt.get("top_resolution") or 512
+    return (res, res // 2)
 
 
 def main(argv=None):
@@ -402,6 +427,13 @@ def main(argv=None):
         help="store the sampler trunk's weights in bfloat16 (halves its HBM "
         "footprint; measured speed-neutral — BENCHMARKS.md)",
     )
+    parser.add_argument(
+        "--warmup",
+        action="store_true",
+        help="compile the /generate pipeline with one synthetic batch "
+        "before accepting traffic (first real request then serves at "
+        "steady-state latency)",
+    )
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -422,6 +454,9 @@ def main(argv=None):
         max_batch=args.max_batch, window_ms=args.batch_window_ms,
         bf16_sampler=args.bf16_sampler,
     )
+    if args.warmup:
+        print("warmup: compiling the /generate pipeline…")
+        print(f"warmup done in {warmup(server):.1f} s")
     print(f"serving on http://127.0.0.1:{args.port}  (UI at /, POST /generate)")
     server.serve_forever()
 
