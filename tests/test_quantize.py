@@ -184,3 +184,88 @@ def test_vq_gradients_match_torch_semantics(rng):
     np.testing.assert_allclose(
         np.asarray(g_p["params"]["codebook"]), bt.grad.numpy(), atol=1e-5
     )
+
+
+def test_remap_matches_torch_replica(rng):
+    """remap_to_used / unmap_to_all (vqgan_arch.py:53-75): deterministic
+    modes match the torch reference logic exactly; 'random' mode fills
+    unknowns in [0, re_embed) and keeps known mappings exact."""
+    import torch
+
+    from text2human_tpu.ops.quantize import remap_to_used, unmap_to_all
+
+    used_np = np.array([3, 7, 11, 42], np.int64)
+    inds_np = rng.integers(0, 48, (2, 24))
+
+    def torch_remap(inds, unknown):
+        used = torch.from_numpy(used_np)
+        t = torch.from_numpy(inds)
+        match = (t[:, :, None] == used[None, None, :]).long()
+        new = match.argmax(-1)
+        unk = match.sum(2) < 1
+        new[unk] = unknown
+        return new.numpy()
+
+    # 'extra' = re_embed; integer mode = that integer (vqgan_arch.py:60-66)
+    for mode, fill in [("extra", len(used_np)), (0, 0), (2, 2)]:
+        got = np.asarray(
+            remap_to_used(jnp.asarray(inds_np), jnp.asarray(used_np), mode)
+        )
+        np.testing.assert_array_equal(got, torch_remap(inds_np, fill))
+
+    got_r = np.asarray(
+        remap_to_used(
+            jnp.asarray(inds_np), jnp.asarray(used_np), "random",
+            key=jax.random.key(0),
+        )
+    )
+    known = np.isin(inds_np, used_np)
+    np.testing.assert_array_equal(
+        got_r[known], torch_remap(inds_np, 0)[known]
+    )
+    assert got_r[~known].min() >= 0 and got_r[~known].max() < len(used_np)
+
+    # unmap: inverse on known ids; extra slot -> used[0] (reference sets 0)
+    remapped = torch_remap(inds_np, len(used_np))
+    back = np.asarray(unmap_to_all(jnp.asarray(remapped), jnp.asarray(used_np)))
+    np.testing.assert_array_equal(back[known], inds_np[known])
+    np.testing.assert_array_equal(back[~known], used_np[0])
+
+
+def test_vector_quantizer_remap_module(rng):
+    """VectorQuantizer(remap=...): emitted indices live in the compacted
+    space; get_codebook_entry unmaps so the roundtrip hits the same rows as
+    the unremapped quantizer."""
+    from text2human_tpu.ops.quantize import VectorQuantizer
+
+    used = (1, 3, 4, 6)
+    z = jnp.asarray(rng.standard_normal((2, 4, 4, 8)).astype(np.float32))
+    plain = VectorQuantizer(n_embed=8, embed_dim=8)
+    params = plain.init(jax.random.key(0), z)["params"]
+    out_plain = plain.apply({"params": params}, z)
+
+    vq = VectorQuantizer(n_embed=8, embed_dim=8, remap=used, unknown_index="extra")
+    out = vq.apply({"params": params}, z)
+    assert int(out.indices.max()) <= len(used)  # compacted + extra slot
+    # known raw indices map to their position in `used`
+    raw = np.asarray(out_plain.indices)
+    comp = np.asarray(out.indices)
+    for pos, u in enumerate(used):
+        np.testing.assert_array_equal(comp[raw == u], pos)
+    assert (comp[~np.isin(raw, used)] == len(used)).all()
+
+    # entries for compacted ids == entries for the raw ids they unmap to
+    ent = vq.apply({"params": params}, out.indices, method=VectorQuantizer.get_codebook_entry)
+    want = plain.apply(
+        {"params": params},
+        jnp.where(jnp.asarray(raw == comp) & False, 0, jnp.asarray(
+            np.where(np.isin(raw, used), raw, used[0])
+        )),
+        method=VectorQuantizer.get_codebook_entry,
+    )
+    np.testing.assert_allclose(np.asarray(ent), np.asarray(want))
+
+    # 'random' mode draws from the 'remap' rng stream
+    vq_r = VectorQuantizer(n_embed=8, embed_dim=8, remap=used)
+    out_r = vq_r.apply({"params": params}, z, rngs={"remap": jax.random.key(1)})
+    assert int(out_r.indices.max()) < len(used)

@@ -151,3 +151,62 @@ def test_attn_block_matches_reference_math(rng):
     out = conv1x1(out, "proj_out")
     want = from_torch(xt + out)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fcn_transform_inputs_matches_torch(rng):
+    """BaseDecodeHead._transform_inputs (fcn_arch.py:120-145): resize_concat
+    bilinear-resizes every selected level to the first's size (both
+    align_corners settings) and concatenates; multiple_select picks levels.
+    Verified against the torch F.interpolate replica."""
+    import dataclasses
+
+    import torch
+    import torch.nn.functional as F
+
+    from text2human_tpu.config import FCNHeadConfig
+    from text2human_tpu.models.fcn import transform_inputs
+
+    levels = [
+        rng.standard_normal((2, 16, 12, 3)).astype(np.float32),
+        rng.standard_normal((2, 8, 6, 4)).astype(np.float32),
+        rng.standard_normal((2, 4, 3, 5)).astype(np.float32),
+    ]
+    for ac in (False, True):
+        cfg = FCNHeadConfig(
+            in_index=(0, 1, 2), input_transform="resize_concat", align_corners=ac
+        )
+        got = np.asarray(transform_inputs(cfg, [jnp.asarray(v) for v in levels]))
+
+        resized = [
+            F.interpolate(
+                torch.from_numpy(v).permute(0, 3, 1, 2),
+                size=(16, 12),
+                mode="bilinear",
+                align_corners=ac,
+            )
+            for v in levels
+        ]
+        want = torch.cat(resized, dim=1).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"ac={ac}")
+
+    ms = FCNHeadConfig(in_index=(2, 0), input_transform="multiple_select")
+    picked = transform_inputs(ms, [jnp.asarray(v) for v in levels])
+    assert len(picked) == 2
+    np.testing.assert_array_equal(np.asarray(picked[0]), levels[2])
+    np.testing.assert_array_equal(np.asarray(picked[1]), levels[0])
+
+    # resize_concat through the full FCNHead (inner heads must not re-apply
+    # the multi-level selection)
+    from text2human_tpu.models.fcn import FCNHead, MultiHeadFCNHead
+
+    head_cfg = dataclasses.replace(
+        FCNHeadConfig(
+            in_index=(0, 1), input_transform="resize_concat",
+            channels=4, num_classes=5, num_convs=1, num_heads=2,
+        ),
+    )
+    xs = [jnp.asarray(v) for v in levels[:2]]
+    out, _ = FCNHead(head_cfg).init_with_output(jax.random.key(0), xs)
+    assert out.shape == (2, 16, 12, 5)
+    mh, _ = MultiHeadFCNHead(head_cfg).init_with_output(jax.random.key(0), xs)
+    assert mh.shape == (2, 16, 12, 2, 5)

@@ -232,6 +232,8 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
                 concat_input=bool(opt.get("fc_concat_input")),
                 dropout_ratio=_get(opt, "fc_dropout_ratio", 0.1),
                 in_index=_get(opt, "fc_in_index", 4),
+                align_corners=bool(opt.get("fc_align_corners")),
+                input_transform=opt.get("fc_input_transform"),
                 num_heads=18,
             ),
             vqgan_cfg(opt, "top_"),
@@ -272,6 +274,8 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
                 concat_input=bool(opt.get("fc_concat_input")),
                 dropout_ratio=_get(opt, "fc_dropout_ratio", 0.1),
                 in_index=_get(opt, "fc_in_index", 4),
+                align_corners=bool(opt.get("fc_align_corners")),
+                input_transform=opt.get("fc_input_transform"),
             ),
             ParsingGenTrainConfig(
                 lr=_get(opt, "lr", 1e-4),
@@ -319,6 +323,8 @@ def build_pipeline(opt: Dict[str, Any]):
             concat_input=bool(opt.get("index_pred_fc_concat_input")),
             dropout_ratio=_get(opt, "index_pred_fc_dropout_ratio", 0.1),
             in_index=_get(opt, "index_pred_fc_in_index", 4),
+                align_corners=bool(opt.get("index_pred_fc_align_corners")),
+                input_transform=opt.get("index_pred_fc_input_transform"),
             num_heads=18,
         ),
         shape_attr=ShapeAttrConfig(
@@ -340,6 +346,8 @@ def build_pipeline(opt: Dict[str, Any]):
             concat_input=bool(opt.get("shape_fc_concat_input")),
             dropout_ratio=_get(opt, "shape_fc_dropout_ratio", 0.1),
             in_index=_get(opt, "shape_fc_in_index", 4),
+                align_corners=bool(opt.get("shape_fc_align_corners")),
+                input_transform=opt.get("shape_fc_input_transform"),
         ) if with_pose else None,
         sample_steps=_get(opt, "sample_steps", 256),
         num_segm_classes=_get(opt, "segm_num_segm_classes", 24),

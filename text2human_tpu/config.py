@@ -12,7 +12,7 @@ import dataclasses
 import os
 import os.path as osp
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import yaml
 
@@ -193,9 +193,14 @@ class FCNHeadConfig:
     num_convs: int = 1
     concat_input: bool = False
     dropout_ratio: float = 0.1
-    in_index: int = 4
+    # int for the default 'index' pick; a tuple with input_transform set
+    # selects multiple levels (reference fcn_arch.py:120-145)
+    in_index: Union[int, Tuple[int, ...]] = 4
     num_heads: int = 1  # 18 for the index-prediction head
     kernel_size: int = 3
+    # None | 'resize_concat' | 'multiple_select' (fcn_arch.py:77-99)
+    input_transform: Optional[str] = None
+    align_corners: bool = False  # resize_concat's F.interpolate flag
 
 
 @dataclass(frozen=True)

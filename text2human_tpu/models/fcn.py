@@ -9,6 +9,7 @@ Parity targets (reference models/archs/fcn_arch.py):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import List, Sequence, Union
 
 import jax
@@ -17,6 +18,24 @@ from flax import linen as nn
 
 from text2human_tpu.config import FCNHeadConfig
 from text2human_tpu.models.unet import ConvModule
+from text2human_tpu.ops.nn import bilinear_resize
+
+
+def transform_inputs(cfg: FCNHeadConfig, inputs):
+    """BaseDecodeHead._transform_inputs (reference fcn_arch.py:120-145).
+
+    'resize_concat': pick cfg.in_index levels, bilinear-resize all to the
+    first's spatial size (align_corners per config) and concat on channels;
+    'multiple_select': pick the levels; default: single index pick.  Every
+    shipped reference config uses the default int-index mode."""
+    if cfg.input_transform == "resize_concat":
+        xs = [inputs[i] for i in cfg.in_index]
+        target = xs[0].shape[1:3]
+        xs = [bilinear_resize(x, target, cfg.align_corners) for x in xs]
+        return jnp.concatenate(xs, axis=-1)
+    if cfg.input_transform == "multiple_select":
+        return [inputs[i] for i in cfg.in_index]
+    return inputs[cfg.in_index] if isinstance(inputs, (list, tuple)) else inputs
 
 
 class FCNHead(nn.Module):
@@ -26,7 +45,7 @@ class FCNHead(nn.Module):
     @nn.compact
     def __call__(self, inputs: Union[jax.Array, Sequence[jax.Array]]) -> jax.Array:
         cfg = self.cfg
-        x = inputs[cfg.in_index] if isinstance(inputs, (list, tuple)) else inputs
+        x = transform_inputs(cfg, inputs)
         out = x
         for i in range(cfg.num_convs):
             out = ConvModule(
@@ -67,7 +86,7 @@ class MultiHeadFCNHead(nn.Module):
     @nn.compact
     def __call__(self, inputs: Union[jax.Array, Sequence[jax.Array]]) -> jax.Array:
         cfg = self.cfg
-        x = inputs[cfg.in_index] if isinstance(inputs, (list, tuple)) else inputs
+        x = transform_inputs(cfg, inputs)
 
         VmapHead = nn.vmap(
             FCNHead,
@@ -77,5 +96,8 @@ class MultiHeadFCNHead(nn.Module):
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
         )
-        out = VmapHead(cfg, train=self.train, name="heads")(x)  # [K, N, H, W, C]
+        # x is already transformed; the inner per-branch head must not
+        # re-apply the multi-level selection to the plain tensor
+        inner = dataclasses.replace(cfg, input_transform=None)
+        out = VmapHead(inner, train=self.train, name="heads")(x)  # [K, N, H, W, C]
         return jnp.moveaxis(out, 0, 3)  # [N, H, W, K, C]

@@ -163,13 +163,56 @@ def dense_from_indices_list(indices_list, cb_ids: jax.Array) -> jax.Array:
     return jnp.take_along_axis(stacked, cb_ids[None].astype(jnp.int32), axis=0)[0]
 
 
+def remap_to_used(
+    inds: jax.Array,
+    used: jax.Array,
+    unknown_index="random",
+    key: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Post-hoc index remapping (reference vqgan_arch.py:53-67): map raw
+    codebook indices to their position in the ``used`` subset.  Indices not
+    in ``used`` become a random re-embed draw (``key`` required), the
+    'extra' slot (``len(used)``), or a fixed integer."""
+    match = inds[..., None] == used  # [..., M]
+    new = jnp.argmax(match, axis=-1).astype(jnp.int32)
+    unknown = ~jnp.any(match, axis=-1)
+    re_embed = used.shape[0]
+    if unknown_index == "random":
+        if key is None:
+            raise ValueError("unknown_index='random' needs an rng key")
+        fill = jax.random.randint(key, new.shape, 0, re_embed).astype(jnp.int32)
+    elif unknown_index == "extra":
+        fill = jnp.full_like(new, re_embed)
+    else:
+        fill = jnp.full_like(new, int(unknown_index))
+    return jnp.where(unknown, fill, new)
+
+
+def unmap_to_all(inds: jax.Array, used: jax.Array) -> jax.Array:
+    """Inverse of :func:`remap_to_used` (reference vqgan_arch.py:69-75):
+    positions in ``used`` back to raw codebook indices; the 'extra' slot
+    (>= len(used)) maps to 0 like the reference."""
+    inds = jnp.where(inds >= used.shape[0], 0, inds)
+    return jnp.take(used, inds, axis=0).astype(jnp.int32)
+
+
 class VectorQuantizer(nn.Module):
-    """Single-codebook VQ (reference vqgan_arch.py:12-139)."""
+    """Single-codebook VQ (reference vqgan_arch.py:12-139).
+
+    ``remap`` (a tuple of used raw indices, ≙ the reference's .npy buffer)
+    enables post-hoc index remapping: emitted indices live in the compacted
+    [0, len(remap)) space and ``get_codebook_entry`` unmaps before the
+    gather.  ``unknown_index='random'`` draws from the 'remap' RNG stream
+    (pass ``rngs={'remap': key}``; the reference uses the global torch RNG).
+    No shipped reference config sets remap — kept for drop-in parity.
+    """
 
     n_embed: int
     embed_dim: int
     beta: float = 0.25
     legacy: bool = True
+    remap: Optional[Tuple[int, ...]] = None
+    unknown_index: "str | int" = "random"  # 'random' | 'extra' | int
 
     def setup(self):
         self.codebook = self.param(
@@ -188,11 +231,23 @@ class VectorQuantizer(nn.Module):
         loss = _vq_loss(z, z_q_raw, self.beta, self.legacy)
         z_q = z + jax.lax.stop_gradient(z_q_raw - z)
         idx_map = idx.reshape(n, h, w)
+        if self.remap is not None:
+            key = (
+                self.make_rng("remap")
+                if self.unknown_index == "random"
+                else None
+            )
+            idx_map = remap_to_used(
+                idx_map, jnp.asarray(self.remap, jnp.int32),
+                self.unknown_index, key,
+            )
         zeros = jnp.zeros_like(idx_map)
         return QuantOut(z_q, loss, idx_map, idx_map, zeros)
 
     def get_codebook_entry(self, indices: jax.Array) -> jax.Array:
         """indices [N, H, W] -> [N, H, W, d] (vqgan_arch.py:124-139)."""
+        if self.remap is not None:
+            indices = unmap_to_all(indices, jnp.asarray(self.remap, jnp.int32))
         return jnp.take(self.codebook, indices, axis=0)
 
 
