@@ -210,3 +210,58 @@ def test_fcn_transform_inputs_matches_torch(rng):
     assert out.shape == (2, 16, 12, 5)
     mh, _ = MultiHeadFCNHead(head_cfg).init_with_output(jax.random.key(0), xs)
     assert mh.shape == (2, 16, 12, 2, 5)
+
+
+def test_deconv_module_matches_torch(rng):
+    """DeconvModule (unet_arch.py:183-240): ConvTranspose2d(k=4,s=2,p=1) +
+    BN + ReLU; kernel imported in the torch [in,out,kh,kw] layout."""
+    import torch
+
+    from text2human_tpu.models.unet import DeconvModule
+
+    x = rng.standard_normal((2, 6, 5, 3)).astype(np.float32)
+    tconv = torch.nn.ConvTranspose2d(3, 7, 4, stride=2, padding=1)
+    tbn = torch.nn.BatchNorm2d(7).eval()
+    with torch.no_grad():
+        tbn.weight.copy_(torch.rand(7) + 0.5)
+        tbn.bias.copy_(torch.rand(7) - 0.5)
+        want = (
+            torch.relu(tbn(tconv(torch.from_numpy(x).permute(0, 3, 1, 2))))
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+
+    mod = DeconvModule(7)
+    vars_ = mod.init(jax.random.key(0), jnp.asarray(x))
+    params = {
+        "deconv": {
+            "kernel": jnp.asarray(
+                tconv.weight.detach().numpy().transpose(2, 3, 1, 0)
+            ),
+            "bias": jnp.asarray(tconv.bias.detach().numpy()),
+        },
+        "bn": {
+            "scale": jnp.asarray(tbn.weight.detach().numpy()),
+            "bias": jnp.asarray(tbn.bias.detach().numpy()),
+        },
+    }
+    got = mod.apply(
+        {"params": params, "batch_stats": vars_["batch_stats"]}, jnp.asarray(x)
+    )
+    assert got.shape == (2, 12, 10, 7)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kernel_size"):
+        DeconvModule(7, kernel_size=3, scale_factor=2).init(
+            jax.random.key(0), jnp.asarray(x)
+        )
+
+    # UpConvBlock can select it in place of InterpConv
+    from text2human_tpu.models.unet import UpConvBlock
+
+    skip = jnp.asarray(rng.standard_normal((2, 12, 10, 7)).astype(np.float32))
+    blk = UpConvBlock(7, upsample="deconv")
+    out, _ = blk.init_with_output(jax.random.key(1), skip, jnp.asarray(x))
+    assert out.shape == (2, 12, 10, 7)

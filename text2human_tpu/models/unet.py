@@ -75,14 +75,58 @@ class InterpConv(nn.Module):
         )(x)
 
 
+class DeconvModule(nn.Module):
+    """Transposed-conv 2x upsample + BN + ReLU (unet_arch.py:183-240).
+
+    The mmcv alternative upsample layer (registered but unused by every
+    shipped config — InterpConv is the configured choice); kernel/scale
+    constraints mirror the reference assert (kernel >= scale, even
+    difference -> padding (k - s) / 2)."""
+
+    out_channels: int
+    kernel_size: int = 4
+    scale_factor: int = 2
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s = self.kernel_size, self.scale_factor
+        if k < s or (k - s) % 2 != 0:
+            raise ValueError(
+                f"kernel_size {k} must be >= scale_factor {s} with an even "
+                "difference (unet_arch.py:212-218)"
+            )
+        pad = (k - s) // 2
+        # torch ConvTranspose2d(padding=p) crops p from each side of the
+        # full (dilated) output
+        x = nn.ConvTranspose(
+            self.out_channels,
+            (k, k),
+            strides=(s, s),
+            padding=[(k - 1 - pad, k - 1 - pad)] * 2,
+            transpose_kernel=True,
+            name="deconv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not self.train, momentum=0.9, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
 class UpConvBlock(nn.Module):
     out_channels: int
     num_convs: int = 2
     train: bool = False
+    upsample: str = "interp"  # 'interp' (all configs) | 'deconv'
 
     @nn.compact
     def __call__(self, skip: jax.Array, x: jax.Array) -> jax.Array:
-        x = InterpConv(self.out_channels, train=self.train, name="upsample")(x)
+        if self.upsample == "deconv":
+            x = DeconvModule(
+                self.out_channels, train=self.train, name="upsample"
+            )(x)
+        else:
+            x = InterpConv(self.out_channels, train=self.train, name="upsample")(x)
         x = jnp.concatenate([skip, x], axis=-1)
         return BasicConvBlock(
             self.out_channels, self.num_convs, train=self.train, name="conv_block"
