@@ -265,3 +265,26 @@ def test_deconv_module_matches_torch(rng):
     blk = UpConvBlock(7, upsample="deconv")
     out, _ = blk.init_with_output(jax.random.key(1), skip, jnp.asarray(x))
     assert out.shape == (2, 12, 10, 7)
+
+
+def test_timestep_embedding_matches_torch(rng):
+    """get_timestep_embedding (vqgan_arch.py:489-507): DDPM sinusoidal
+    embedding, exact vs the torch reference formula (odd dims zero-pad)."""
+    import math
+
+    import torch
+
+    from text2human_tpu.ops.blocks import get_timestep_embedding
+
+    t_np = rng.integers(0, 1000, (7,)).astype(np.int64)
+    for dim in (16, 17):
+        got = np.asarray(get_timestep_embedding(jnp.asarray(t_np), dim))
+
+        half = dim // 2
+        emb = math.log(10000) / (half - 1)
+        emb = torch.exp(torch.arange(half, dtype=torch.float32) * -emb)
+        emb = torch.from_numpy(t_np).float()[:, None] * emb[None, :]
+        emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=1)
+        if dim % 2 == 1:
+            emb = torch.nn.functional.pad(emb, (0, 1, 0, 0))
+        np.testing.assert_allclose(got, emb.numpy(), atol=1e-6)

@@ -6,6 +6,7 @@ Behavioral parity targets (reference models/archs/vqgan_arch.py):
   Downsample     :537-554  asymmetric (0,1,0,1) pad + 3x3 stride-2 conv
   ResnetBlock    :557-617  GN-swish-conv x2 + (nin|conv) shortcut
   AttnBlock      :620-661  single-head full HWxHW attention
+  get_timestep_embedding :489-507  DDPM sinusoidal embedding
 """
 
 from __future__ import annotations
@@ -18,6 +19,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from text2human_tpu.ops.nn import nearest_upsample2x, swish
+
+
+def get_timestep_embedding(timesteps: jax.Array, embedding_dim: int) -> jax.Array:
+    """DDPM sinusoidal timestep embedding (vqgan_arch.py:489-507; used there
+    only by the dead-code DDPM ``Model``, kept for drop-in parity).
+
+    timesteps: [N] -> [N, embedding_dim] f32 ([sin | cos], odd dims zero-pad).
+    """
+    import math
+
+    assert timesteps.ndim == 1
+    half_dim = embedding_dim // 2
+    scale = math.log(10000.0) / (half_dim - 1)
+    freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -scale)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
 
 
 class GroupNorm(nn.Module):
