@@ -360,3 +360,14 @@ def test_sampler_trainer_autoregressive_mode(rng):
     )
     loc = np.asarray(loc)
     assert loc.min() >= 0 and loc.max() < c
+
+
+def test_builders_map_sampler_key():
+    """The YAML 'sampler' key reaches TransformerConfig (so AR mode is
+    reachable from configs, not only from code)."""
+    from text2human_tpu.cli.builders import transformer_cfg
+
+    assert transformer_cfg({}).sampler == "absorbing"
+    cfg = transformer_cfg({"sampler": "autoregressive"})
+    assert cfg.sampler == "autoregressive"
+    assert cfg.vocab_size == cfg.codebook_size  # no mask token in AR mode

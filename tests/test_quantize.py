@@ -258,9 +258,7 @@ def test_vector_quantizer_remap_module(rng):
     ent = vq.apply({"params": params}, out.indices, method=VectorQuantizer.get_codebook_entry)
     want = plain.apply(
         {"params": params},
-        jnp.where(jnp.asarray(raw == comp) & False, 0, jnp.asarray(
-            np.where(np.isin(raw, used), raw, used[0])
-        )),
+        jnp.asarray(np.where(np.isin(raw, used), raw, used[0])),
         method=VectorQuantizer.get_codebook_entry,
     )
     np.testing.assert_allclose(np.asarray(ent), np.asarray(want))

@@ -79,6 +79,9 @@ def transformer_cfg(opt: Dict[str, Any]) -> TransformerConfig:
         resid_pdrop=_get(opt, "resid_pdrop", 0.0),
         attn_pdrop=_get(opt, "attn_pdrop", 0.0),
         num_output_heads=_get(opt, "num_head", 18),
+        # 'absorbing' (every reference config) or 'autoregressive' (the
+        # causal mode: next-token loss + left-to-right decode)
+        sampler=_get(opt, "sampler", "absorbing"),
     )
 
 
@@ -323,8 +326,8 @@ def build_pipeline(opt: Dict[str, Any]):
             concat_input=bool(opt.get("index_pred_fc_concat_input")),
             dropout_ratio=_get(opt, "index_pred_fc_dropout_ratio", 0.1),
             in_index=_get(opt, "index_pred_fc_in_index", 4),
-                align_corners=bool(opt.get("index_pred_fc_align_corners")),
-                input_transform=opt.get("index_pred_fc_input_transform"),
+            align_corners=bool(opt.get("index_pred_fc_align_corners")),
+            input_transform=opt.get("index_pred_fc_input_transform"),
             num_heads=18,
         ),
         shape_attr=ShapeAttrConfig(
@@ -346,8 +349,8 @@ def build_pipeline(opt: Dict[str, Any]):
             concat_input=bool(opt.get("shape_fc_concat_input")),
             dropout_ratio=_get(opt, "shape_fc_dropout_ratio", 0.1),
             in_index=_get(opt, "shape_fc_in_index", 4),
-                align_corners=bool(opt.get("shape_fc_align_corners")),
-                input_transform=opt.get("shape_fc_input_transform"),
+            align_corners=bool(opt.get("shape_fc_align_corners")),
+            input_transform=opt.get("shape_fc_input_transform"),
         ) if with_pose else None,
         sample_steps=_get(opt, "sample_steps", 256),
         num_segm_classes=_get(opt, "segm_num_segm_classes", 24),

@@ -79,6 +79,8 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
             opt["pretrained_sampler"],
             opt["pretrained_index_network"],
             opt.get("pretrained_parsing_gen") or "",
+            # the causal trunk needs the checkpoint's start_tok parameter
+            causal_sampler=pipe.cfgs.transformer.sampler == "autoregressive",
         )
 
     # random-weight smoke mode (explicit --synthetic)

@@ -93,6 +93,23 @@ class ServerStats:
         return out
 
 
+def model_pose_hw(opt) -> tuple:
+    """The configured pose/model geometry (H, W)."""
+    res = opt.get("synthetic_resolution") or opt.get("top_resolution") or 512
+    return (res, res // 2)
+
+
+def synthetic_pose(opt) -> "np.ndarray":
+    """Deterministic synthetic densepose I-map at the model geometry — the
+    /generate fallback AND the --warmup probe (one definition so the warmup
+    compiles exactly the program real synthetic requests hit)."""
+    return (
+        np.random.default_rng(0)
+        .uniform(0, 24, model_pose_hw(opt))
+        .astype(np.float32)
+    )
+
+
 def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
     """Dynamic batcher for the stateless /generate route: concurrent requests
     coalesce into one padded TPU batch (pipelines/batching.py).  Serialized
@@ -188,11 +205,6 @@ def make_handler(session, opt, lock, batcher, stats=None):
 
     def decode_pose(req):
         """densepose I-channel from the request PNG, or a synthetic one."""
-        res = (
-            opt.get("synthetic_resolution")
-            or opt.get("top_resolution")
-            or 512
-        )
         if req.get("pose_png_b64"):
             from text2human_tpu.ui.session import pose_i_from_iuv
 
@@ -201,10 +213,8 @@ def make_handler(session, opt, lock, batcher, stats=None):
             )
             # reference demo semantics: LANCZOS to the model resolution,
             # then keep the I channel (ui_demo.py:90-95)
-            return pose_i_from_iuv(iuv, (res, res // 2))
-        return np.random.default_rng(0).uniform(
-            0, 24, (res, res // 2)
-        ).astype(np.float32)
+            return pose_i_from_iuv(iuv, model_pose_hw(opt))
+        return synthetic_pose(opt)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, payload):
@@ -384,21 +394,13 @@ def warmup(server) -> float:
     t0 = time.time()
     server.batcher.submit(
         {
-            "pose_i": np.random.default_rng(0)
-            .uniform(0, 24, _pose_shape(server))
-            .astype(np.float32),
+            "pose_i": synthetic_pose(server.opt),
             "shape_text": "a woman, T-shirt, pants",
             "texture_text": "pure color, pure color",
             "steps": 0,
         }
     )
     return time.time() - t0
-
-
-def _pose_shape(server):
-    opt = server.opt
-    res = opt.get("synthetic_resolution") or opt.get("top_resolution") or 512
-    return (res, res // 2)
 
 
 def main(argv=None):

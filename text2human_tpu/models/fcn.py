@@ -28,6 +28,16 @@ def transform_inputs(cfg: FCNHeadConfig, inputs):
     first's spatial size (align_corners per config) and concat on channels;
     'multiple_select': pick the levels; default: single index pick.  Every
     shipped reference config uses the default int-index mode."""
+    if cfg.input_transform is not None and not isinstance(
+        cfg.in_index, (tuple, list)
+    ):
+        # mmseg asserts list-typed in_index whenever input_transform is set
+        # (fcn_arch.py:104-105); fail at config time, not with an opaque
+        # TypeError mid-trace
+        raise ValueError(
+            f"input_transform={cfg.input_transform!r} needs a tuple in_index "
+            f"(got {cfg.in_index!r})"
+        )
     if cfg.input_transform == "resize_concat":
         xs = [inputs[i] for i in cfg.in_index]
         target = xs[0].shape[1:3]
@@ -46,6 +56,11 @@ class FCNHead(nn.Module):
     def __call__(self, inputs: Union[jax.Array, Sequence[jax.Array]]) -> jax.Array:
         cfg = self.cfg
         x = transform_inputs(cfg, inputs)
+        if isinstance(x, list):
+            raise ValueError(
+                "FCNHead consumes one tensor; 'multiple_select' is only for "
+                "heads that accept multi-level lists (use 'resize_concat')"
+            )
         out = x
         for i in range(cfg.num_convs):
             out = ConvModule(

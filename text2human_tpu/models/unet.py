@@ -125,8 +125,14 @@ class UpConvBlock(nn.Module):
             x = DeconvModule(
                 self.out_channels, train=self.train, name="upsample"
             )(x)
-        else:
+        elif self.upsample == "interp":
             x = InterpConv(self.out_channels, train=self.train, name="upsample")(x)
+        else:
+            # the mmcv upsample registry raises on unknown layer types; a
+            # silent fallback would train the wrong architecture
+            raise ValueError(
+                f"unknown upsample {self.upsample!r} (expected 'interp' or 'deconv')"
+            )
         x = jnp.concatenate([skip, x], axis=-1)
         return BasicConvBlock(
             self.out_channels, self.num_convs, train=self.train, name="conv_block"

@@ -379,9 +379,15 @@ def convert_bottom_vqgan(
     return out
 
 
-def convert_sampler(sd: Dict[str, Any], n_layers: int = 24, num_heads: int = 18):
-    """sampler.pth (bare transformer state dict)."""
-    return {"params": transformer_params(sd, n_layers, num_heads)}
+def convert_sampler(
+    sd: Dict[str, Any],
+    n_layers: int = 24,
+    num_heads: int = 18,
+    causal: bool = False,
+):
+    """sampler.pth (bare transformer state dict).  ``causal=True`` for a
+    checkpoint served in autoregressive mode (imports start_tok)."""
+    return {"params": transformer_params(sd, n_layers, num_heads, causal)}
 
 
 def convert_index_pred(ckpt: Dict[str, Any]) -> Dict[str, Any]:
@@ -435,13 +441,18 @@ def convert_pipeline_checkpoints(
     sampler_path: str,
     index_pred_path: str,
     parsing_gen_path: str = "",
+    causal_sampler: bool = False,
 ) -> Dict[str, Any]:
     """Build the SamplePipeline params dict from the reference's six .pth files
-    (≙ BaseSampleModel.__init__ loads, sample_model.py:124-181,397-410)."""
+    (≙ BaseSampleModel.__init__ loads, sample_model.py:124-181,397-410).
+    ``causal_sampler=True`` when the pipeline's TransformerConfig.sampler is
+    'autoregressive' (the causal trunk needs the checkpoint's start_tok)."""
     params = {
         "hierarchy": convert_hierarchy_params(top_path, bottom_path),
         "segm": convert_segm_tokenizer(load_pth(segm_path))["params"],
-        "sampler": convert_sampler(load_pth(sampler_path))["params"],
+        "sampler": convert_sampler(
+            load_pth(sampler_path), causal=causal_sampler
+        )["params"],
         "index_pred": convert_index_pred(load_pth(index_pred_path)),
     }
     if parsing_gen_path:
