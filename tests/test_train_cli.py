@@ -25,11 +25,16 @@ def test_train_cli_segm_tokenizer_dp():
 
 
 def test_train_cli_sampler():
+    # no --max-iters: the run reaches its val epoch so the reference's
+    # image/gt-decode/pred-decode triptych is written
+    # (transformer_model.py:386-399)
     train_cli.main([
-        "-opt", "configs/debug/sampler_debug.yml",
-        "--synthetic", "--max-iters", "2",
+        "-opt", "configs/debug/sampler_debug.yml", "--synthetic",
     ])
     assert os.path.exists("experiments/sampler_debug/metrics.jsonl")
+    assert os.path.exists(
+        "experiments/sampler_debug/visualization/epoch0_sample.png"
+    )
 
 
 def test_train_cli_resume():
@@ -121,6 +126,11 @@ def test_train_cli_index_pred():
         "--synthetic",
     ])
     assert os.path.exists("experiments/index_pred_debug/metrics.jsonl")
+    # the reference's 4-way [image | gt-bottom | top-only | predicted-bottom]
+    # comparison grid (hierarchy_inference_model.py:212-225)
+    assert os.path.exists(
+        "experiments/index_pred_debug/visualization/epoch0_hierarchy.png"
+    )
 
 
 def test_train_cli_parsing_gen():

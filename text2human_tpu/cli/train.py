@@ -281,6 +281,62 @@ class TrainLoop:
             pair = jnp.concatenate([b["image"][0], xrec[0]], axis=1)
             put(osp.join(vis_dir, f"epoch{epoch}_recon.png"),
                 jnp.clip((pair + 1) / 2, 0, 1))
+        elif mt == "TransformerTextureAwareModel":
+            # reference get_vis triptych (transformer_model.py:386-399):
+            # [image | decode(gt indices) | decode(sampled indices)]
+            from text2human_tpu.models.composites import TextureVQGAN
+
+            tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+            h, w = t.tf_cfg.latent_shape
+            gt = tokens["gt_local"][:1].reshape(1, h, w)
+            pred_local, _ = t.sample(
+                self.state.params,
+                tokens["segm_tokens"][:1],
+                tokens["texture_tokens"][:1],
+                self._next_key(),
+            )
+            mask1 = b["texture_mask"][:1]
+
+            def dec(idx):
+                return t.img_vq.apply(
+                    {"params": self.frozen["img"]}, idx, mask1,
+                    method=TextureVQGAN.decode_indices,
+                )
+
+            tri = jnp.concatenate(
+                [b["image"][0], dec(gt)[0], dec(pred_local.reshape(1, h, w))[0]],
+                axis=1,
+            )
+            put(osp.join(vis_dir, f"epoch{epoch}_sample.png"),
+                jnp.clip((tri + 1) / 2, 0, 1))
+        elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
+            # reference get_vis 4-way (hierarchy_inference_model.py:212-225):
+            # [image | gt-bottom recon | top-only decode | predicted-bottom]
+            from text2human_tpu.models.composites import HierarchyVQ
+
+            data = t.prepare(self.frozen["vq"], b)
+            ft = data["feature_top"][:1]
+            mask1 = b["texture_mask"][:1]
+            pred, _ = t.predict_bot_indices(
+                self.state.params, self.state.batch_stats, ft, mask1
+            )
+            vqp = {"params": self.frozen["vq"]}
+
+            def dec_bot(idx):
+                return t.hierarchy.apply(
+                    vqp, ft, idx, mask1, method=HierarchyVQ.decode_from_bot_indices
+                )
+
+            base = t.hierarchy.apply(
+                vqp, ft, method=lambda m, q: m.decoder(q)
+            )
+            quad = jnp.concatenate(
+                [b["image"][0], dec_bot(data["gt_indices"][:1])[0],
+                 base[0], dec_bot(pred)[0]],
+                axis=1,
+            )
+            put(osp.join(vis_dir, f"epoch{epoch}_hierarchy.png"),
+                jnp.clip((quad + 1) / 2, 0, 1))
         elif mt == "ParsingGenModel":
             ev = t.eval_step(self.state.params, self.state.batch_stats, b)
             pair = np.concatenate(
