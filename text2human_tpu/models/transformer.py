@@ -298,6 +298,79 @@ class TransformerMultiHead(nn.Module):
         return logits
 
 
+class Transformer(nn.Module):
+    """Single-head GPT/BERT trunk (reference transformer_arch.py:102-181).
+
+    Dead code in the reference (only ``TransformerMultiHead`` is ever
+    imported) — implemented for complete drop-in parity: tok + pos + segm
+    embeddings (no texture embedding), the same pre-LN blocks, and ONE
+    bias-free head over ``codebook_size`` classes.  Converter:
+    ``utils/torch_import.py:transformer_single_params``.
+    """
+
+    cfg: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        idx: jax.Array,
+        segm_tokens: jax.Array,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        init02 = nn.initializers.normal(stddev=0.02)
+        tok_emb = self.param("tok_emb", init02, (cfg.vocab_size, cfg.n_emb))
+        pos_emb = self.param(
+            "pos_emb", nn.initializers.zeros, (cfg.block_size, cfg.n_emb)
+        )
+        segm_emb = self.param(
+            "segm_emb", init02, (cfg.segm_codebook_size, cfg.n_emb)
+        )
+
+        tok = jnp.take(tok_emb, idx, axis=0)
+        if cfg.sampler == "autoregressive":
+            start = self.param("start_tok", nn.initializers.zeros, (cfg.n_emb,))
+            tok = jnp.concatenate(
+                [jnp.broadcast_to(start, (tok.shape[0], 1, cfg.n_emb)), tok[:, 1:]],
+                axis=1,
+            )
+        x = (
+            tok
+            + pos_emb[None, : idx.shape[1]]
+            + jnp.take(segm_emb, segm_tokens, axis=0)
+        ).astype(self.dtype)
+        x = nn.Dropout(cfg.embd_pdrop, deterministic=deterministic)(x)
+
+        body = Block if deterministic else nn.remat(Block)
+        ScanBlocks = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=cfg.n_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )
+        x, _ = ScanBlocks(
+            n_head=cfg.n_head,
+            attn_pdrop=cfg.attn_pdrop,
+            resid_pdrop=cfg.resid_pdrop,
+            causal=cfg.sampler == "autoregressive",
+            deterministic=deterministic,
+            dtype=self.dtype,
+            name="blocks",
+        )(x, None)
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+        head = self.param("head", init02, (cfg.n_emb, cfg.codebook_size))
+        return jnp.einsum(
+            "btd,dc->btc",
+            x.astype(self.dtype),
+            head.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+
 def select_head_logits(logits: jax.Array, texture_tokens: jax.Array) -> jax.Array:
     """Gather each position's active codebook head: [B,T,K,C], [B,T] -> [B,T,C].
 

@@ -97,7 +97,13 @@ class ResnetBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        temb: Optional[jax.Array] = None,
+        *,
+        deterministic: bool = True,
+    ) -> jax.Array:
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
         conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
@@ -105,6 +111,15 @@ class ResnetBlock(nn.Module):
         h = GroupNorm(name="norm1")(x)
         h = swish(h)
         h = conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
+
+        if temb is not None:
+            # DDPM timestep conditioning (vqgan_arch.py:602-603); only the
+            # dead-code DDPM Model passes temb — the VQGAN stacks call with
+            # None and create no temb_proj parameter
+            h = h + nn.Dense(
+                out_ch, dtype=self.dtype, param_dtype=jnp.float32,
+                name="temb_proj",
+            )(swish(temb))[:, None, None, :]
 
         h = GroupNorm(name="norm2")(h)
         h = swish(h)

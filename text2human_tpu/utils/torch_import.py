@@ -78,6 +78,8 @@ def resnet_block(sd: Dict, prefix: str) -> Dict[str, Any]:
         "norm2": group_norm(sd, f"{prefix}.norm2"),
         "conv2": conv(sd, f"{prefix}.conv2"),
     }
+    if f"{prefix}.temb_proj.weight" in sd:  # DDPM Model blocks only
+        out["temb_proj"] = linear(sd, f"{prefix}.temb_proj")
     if f"{prefix}.nin_shortcut.weight" in sd:
         out["nin_shortcut"] = conv(sd, f"{prefix}.nin_shortcut")
     if f"{prefix}.conv_shortcut.weight" in sd:
@@ -118,6 +120,37 @@ def encoder_params(sd: Dict, num_levels: int, num_res_blocks: int) -> Dict[str, 
 def decoder_params(sd: Dict, num_levels: int, num_res_blocks: int) -> Dict[str, Any]:
     """Reference Decoder state dict (vqgan_arch.py:922-1033) -> our Decoder."""
     out: Dict[str, Any] = {"conv_in": conv(sd, "conv_in")}
+    out["mid_block_1"] = resnet_block(sd, "mid.block_1")
+    out["mid_attn_1"] = attn_block(sd, "mid.attn_1")
+    out["mid_block_2"] = resnet_block(sd, "mid.block_2")
+    for lvl in range(num_levels):
+        for blk in range(num_res_blocks + 1):
+            out[f"up_{lvl}_block_{blk}"] = resnet_block(sd, f"up.{lvl}.block.{blk}")
+            if f"up.{lvl}.attn.{blk}.norm.weight" in sd:
+                out[f"up_{lvl}_attn_{blk}"] = attn_block(sd, f"up.{lvl}.attn.{blk}")
+        if f"up.{lvl}.upsample.conv.weight" in sd:
+            out[f"up_{lvl}_upsample"] = {"conv": conv(sd, f"up.{lvl}.upsample.conv")}
+    out["norm_out"] = group_norm(sd, "norm_out")
+    out["conv_out"] = conv(sd, "conv_out")
+    return out
+
+
+def ddpm_model_params(sd: Dict, num_levels: int, num_res_blocks: int) -> Dict[str, Any]:
+    """Reference DDPM ``Model`` state dict (vqgan_arch.py:664-815) -> our
+    DDPMUNet (models/ddpm.py)."""
+    out: Dict[str, Any] = {"conv_in": conv(sd, "conv_in")}
+    if "temb.dense.0.weight" in sd:
+        out["temb_dense_0"] = linear(sd, "temb.dense.0")
+        out["temb_dense_1"] = linear(sd, "temb.dense.1")
+    for lvl in range(num_levels):
+        for blk in range(num_res_blocks):
+            out[f"down_{lvl}_block_{blk}"] = resnet_block(sd, f"down.{lvl}.block.{blk}")
+            if f"down.{lvl}.attn.{blk}.norm.weight" in sd:
+                out[f"down_{lvl}_attn_{blk}"] = attn_block(sd, f"down.{lvl}.attn.{blk}")
+        if f"down.{lvl}.downsample.conv.weight" in sd:
+            out[f"down_{lvl}_downsample"] = {
+                "conv": conv(sd, f"down.{lvl}.downsample.conv")
+            }
     out["mid_block_1"] = resnet_block(sd, "mid.block_1")
     out["mid_attn_1"] = attn_block(sd, "mid.attn_1")
     out["mid_block_2"] = resnet_block(sd, "mid.block_2")
@@ -186,28 +219,49 @@ def transformer_params(
     if causal:
         out["start_tok"] = _np(sd["start_tok"]).reshape(-1)
 
-    def layer_tree(i: int) -> Dict[str, Any]:
-        p = f"blocks.{i}"
-        return {
-            "ln1": norm_scale_bias(sd, f"{p}.ln1"),
-            "ln2": norm_scale_bias(sd, f"{p}.ln2"),
-            "attn": {
-                "query": linear(sd, f"{p}.attn.query"),
-                "key": linear(sd, f"{p}.attn.key"),
-                "value": linear(sd, f"{p}.attn.value"),
-                "proj": linear(sd, f"{p}.attn.proj"),
-            },
-            "mlp_fc": linear(sd, f"{p}.mlp.0"),
-            "mlp_proj": linear(sd, f"{p}.mlp.2"),
-        }
-
-    layers = [layer_tree(i) for i in range(n_layers)]
+    layers = [_transformer_layer_tree(sd, i) for i in range(n_layers)]
     out["blocks"] = jax_tree_stack(layers)
 
     heads = [
         _np(sd[f"head_list.{k}.weight"]).T for k in range(num_heads)
     ]  # [D, C] each
     out["heads"] = np.stack(heads)
+    return out
+
+
+def _transformer_layer_tree(sd: Dict, i: int) -> Dict[str, Any]:
+    p = f"blocks.{i}"
+    return {
+        "ln1": norm_scale_bias(sd, f"{p}.ln1"),
+        "ln2": norm_scale_bias(sd, f"{p}.ln2"),
+        "attn": {
+            "query": linear(sd, f"{p}.attn.query"),
+            "key": linear(sd, f"{p}.attn.key"),
+            "value": linear(sd, f"{p}.attn.value"),
+            "proj": linear(sd, f"{p}.attn.proj"),
+        },
+        "mlp_fc": linear(sd, f"{p}.mlp.0"),
+        "mlp_proj": linear(sd, f"{p}.mlp.2"),
+    }
+
+
+def transformer_single_params(
+    sd: Dict, n_layers: int, causal: bool = False
+) -> Dict[str, Any]:
+    """Single-head ``Transformer`` state dict (transformer_arch.py:102-181,
+    dead code in the reference) -> our models/transformer.py:Transformer."""
+    out: Dict[str, Any] = {
+        "tok_emb": _np(sd["tok_emb.weight"]),
+        "pos_emb": _np(sd["pos_emb"]).reshape(-1, _np(sd["pos_emb"]).shape[-1]),
+        "segm_emb": _np(sd["segm_emb.weight"]),
+        "ln_f": norm_scale_bias(sd, "ln_f"),
+        "head": _np(sd["head.weight"]).T,  # [D, codebook_size]
+    }
+    if causal:
+        out["start_tok"] = _np(sd["start_tok"]).reshape(-1)
+    out["blocks"] = jax_tree_stack(
+        [_transformer_layer_tree(sd, i) for i in range(n_layers)]
+    )
     return out
 
 
