@@ -371,3 +371,49 @@ def test_builders_map_sampler_key():
     cfg = transformer_cfg({"sampler": "autoregressive"})
     assert cfg.sampler == "autoregressive"
     assert cfg.vocab_size == cfg.codebook_size  # no mask token in AR mode
+
+
+def test_single_head_transformer_ar_decode(rng):
+    """The dead-code single-head Transformer composes with the AR decode
+    loop: its [B,T,C] logits are consumed directly (no head selection), and
+    the teacher-forcing replay reproduces every token."""
+    from text2human_tpu.config import TransformerConfig
+    from text2human_tpu.diffusion.absorbing import (
+        _shift_right,
+        sample_autoregressive,
+    )
+    from text2human_tpu.models.transformer import Transformer
+
+    cfg = TransformerConfig(
+        codebook_size=12, segm_codebook_size=8, texture_codebook_size=1,
+        n_emb=16, n_layers=2, n_head=2, block_size=16, latent_shape=(4, 4),
+        num_output_heads=1, sampler="autoregressive",
+    )
+    b, t_len = 2, cfg.block_size
+    diff = AbsorbingDiffusion(
+        mask_id=cfg.codebook_size, num_tokens=t_len,
+        n_embed_per_head=cfg.codebook_size,  # single head: cont == local
+    )
+    model = Transformer(cfg)
+    dummy = jnp.zeros((1, t_len), jnp.int32)
+    params = model.init(jax.random.key(0), dummy, dummy)["params"]
+    assert "start_tok" in params
+    segm = jnp.asarray(rng.integers(0, 8, (b, t_len)), jnp.int32)
+    tex = jnp.zeros((b, t_len), jnp.int32)
+
+    def denoise(x_t):
+        return model.apply({"params": params}, x_t, segm)
+
+    key = jax.random.key(3)
+    local, cont = sample_autoregressive(key, diff, denoise, tex)
+    local, cont = np.asarray(local), np.asarray(cont)
+    assert local.min() >= 0 and local.max() < cfg.codebook_size
+    np.testing.assert_array_equal(cont, local)
+
+    logits = np.asarray(denoise(_shift_right(jnp.asarray(cont))))
+    keys = jax.random.split(key, t_len)
+    for i in range(t_len):
+        resampled = jax.random.categorical(
+            keys[i], jnp.asarray(logits[:, i], jnp.float32), axis=-1
+        )
+        np.testing.assert_array_equal(np.asarray(resampled), local[:, i])

@@ -746,3 +746,31 @@ def test_golden_transformer_single_head():
         jnp.asarray(idx % 24), jnp.asarray(segm),
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_golden_ddpm_model_no_timestep():
+    """use_timestep=False branch (vqgan_arch.py:776-781): no temb MLP, no
+    per-block temb_proj params; forward still matches."""
+    from text2human_tpu.models.ddpm import DDPMUNet
+
+    va = ref("vqgan_arch")
+    torch.manual_seed(2)
+    tm = va.Model(
+        ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), dropout=0.0, in_channels=3,
+        resolution=16, use_timestep=False,
+    ).eval()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = nhwc(tm(torch.from_numpy(x).permute(0, 3, 1, 2)))
+    cfg = C.VQGANConfig(
+        ch=32, ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(),
+        in_channels=3, out_ch=3, resolution=16, z_channels=32,
+    )
+    params = ti.ddpm_model_params(tm.state_dict(), 2, 1)
+    assert "temb_dense_0" not in params
+    got = DDPMUNet(cfg, use_timestep=False).apply(
+        {"params": params}, jnp.asarray(x)
+    )
+    assert_close(got, want, 2e-3, "ddpm_model_no_t")
