@@ -28,6 +28,12 @@ def main(argv=None):
     imp.add_argument("--sampler", required=True)
     imp.add_argument("--index-pred", required=True)
     imp.add_argument("--parsing-gen", default="")
+    imp.add_argument(
+        "--causal-sampler",
+        action="store_true",
+        help="build the checkpoint for autoregressive serving (sampler: "
+        "'autoregressive'): imports the transformer's start_tok parameter",
+    )
     imp.add_argument("--out", required=True)
 
     exp = sub.add_parser("export-top",
@@ -51,6 +57,7 @@ def main(argv=None):
         params = convert_pipeline_checkpoints(
             args.top, args.bottom, args.segm, args.sampler,
             args.index_pred, args.parsing_gen,
+            causal_sampler=args.causal_sampler,
         )
         save_checkpoint(args.out, params)
         print(f"wrote pipeline checkpoint -> {args.out}")

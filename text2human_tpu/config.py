@@ -161,6 +161,14 @@ class TransformerConfig:
     num_output_heads: int = 18
     sampler: str = "absorbing"  # or "autoregressive"
 
+    def __post_init__(self):
+        if self.sampler not in ("absorbing", "autoregressive"):
+            # a typo'd YAML value would silently train the wrong objective
+            raise ValueError(
+                f"sampler={self.sampler!r}: expected 'absorbing' or "
+                "'autoregressive'"
+            )
+
     @property
     def vocab_size(self) -> int:
         # +1 mask token in absorbing mode (transformer_arch.py:203)

@@ -44,7 +44,6 @@ class DDPMUNet(nn.Module):
     ) -> jax.Array:
         cfg = self.cfg
         num_res = cfg.num_resolutions
-        in_ch_mult = (1,) + tuple(cfg.ch_mult)
         Res, Attn = _block_types(cfg)
         Conv = _conv(cfg)
         dtype = jnp.dtype(cfg.compute_dtype)

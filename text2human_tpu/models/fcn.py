@@ -102,6 +102,12 @@ class MultiHeadFCNHead(nn.Module):
     def __call__(self, inputs: Union[jax.Array, Sequence[jax.Array]]) -> jax.Array:
         cfg = self.cfg
         x = transform_inputs(cfg, inputs)
+        if isinstance(x, list):
+            raise ValueError(
+                "MultiHeadFCNHead consumes one tensor; 'multiple_select' is "
+                "only for heads that accept multi-level lists (use "
+                "'resize_concat')"
+            )
 
         VmapHead = nn.vmap(
             FCNHead,

@@ -142,6 +142,70 @@ class Block(nn.Module):
         return x + h, None
 
 
+def _encode_trunk(
+    m: nn.Module,
+    cfg: TransformerConfig,
+    dtype,
+    idx: jax.Array,
+    segm_tokens: jax.Array,
+    texture_tokens: Optional[jax.Array],
+    deterministic: bool,
+    flash: bool = False,
+    bf16_scores: bool = False,
+) -> jax.Array:
+    """Shared embedding + block-scan + final-norm trunk for both transformer
+    variants (multi-head and the single-head dead-code port).  Creates the
+    checkpoint-compatible parameter names on ``m``; ``texture_tokens=None``
+    omits the texture embedding (transformer_arch.py:102-181 vs :184-273)."""
+    init02 = nn.initializers.normal(stddev=0.02)
+    tok_emb = m.param("tok_emb", init02, (cfg.vocab_size, cfg.n_emb))
+    pos_emb = m.param("pos_emb", nn.initializers.zeros, (cfg.block_size, cfg.n_emb))
+    segm_emb = m.param("segm_emb", init02, (cfg.segm_codebook_size, cfg.n_emb))
+
+    tok = jnp.take(tok_emb, idx, axis=0)
+    if cfg.sampler == "autoregressive":
+        # learned start embedding (reference transformer_arch.py:220,
+        # 256-259 prepends ``start_tok``; with our fixed-length shifted
+        # stream, position 0's token embedding IS the start token — the
+        # shift provides real tokens for positions >= 1). Zeros init
+        # matches the reference parameter.
+        start = m.param("start_tok", nn.initializers.zeros, (cfg.n_emb,))
+        tok = jnp.concatenate(
+            [jnp.broadcast_to(start, (tok.shape[0], 1, cfg.n_emb)), tok[:, 1:]],
+            axis=1,
+        )
+    x = tok + pos_emb[None, : idx.shape[1]] + jnp.take(segm_emb, segm_tokens, axis=0)
+    if texture_tokens is not None:
+        texture_emb = m.param(
+            "texture_emb", init02, (cfg.texture_codebook_size, cfg.n_emb)
+        )
+        x = x + jnp.take(texture_emb, texture_tokens, axis=0)
+    x = x.astype(dtype)
+    x = nn.Dropout(cfg.embd_pdrop, deterministic=deterministic)(x)
+
+    body = Block if deterministic else nn.remat(Block)
+    ScanBlocks = nn.scan(
+        body,
+        variable_axes={"params": 0},
+        split_rngs={"params": True, "dropout": True},
+        length=cfg.n_layers,
+        metadata_params={nn.PARTITION_NAME: "layers"},
+    )
+    x, _ = ScanBlocks(
+        n_head=cfg.n_head,
+        attn_pdrop=cfg.attn_pdrop,
+        resid_pdrop=cfg.resid_pdrop,
+        causal=cfg.sampler == "autoregressive",
+        deterministic=deterministic,
+        flash=flash,
+        bf16_scores=bf16_scores,
+        dtype=dtype,
+        name="blocks",
+    )(x, None)
+
+    return nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
+
+
 class TransformerMultiHead(nn.Module):
     cfg: TransformerConfig
     dtype: jnp.dtype = jnp.float32
@@ -180,64 +244,10 @@ class TransformerMultiHead(nn.Module):
         """
         cfg = self.cfg
         init02 = nn.initializers.normal(stddev=0.02)
-
-        tok_emb = self.param("tok_emb", init02, (cfg.vocab_size, cfg.n_emb))
-        pos_emb = self.param(
-            "pos_emb", nn.initializers.zeros, (cfg.block_size, cfg.n_emb)
+        x = _encode_trunk(
+            self, cfg, self.dtype, idx, segm_tokens, texture_tokens,
+            deterministic, flash=flash, bf16_scores=bf16_scores,
         )
-        segm_emb = self.param(
-            "segm_emb", init02, (cfg.segm_codebook_size, cfg.n_emb)
-        )
-        texture_emb = self.param(
-            "texture_emb", init02, (cfg.texture_codebook_size, cfg.n_emb)
-        )
-
-        tok = jnp.take(tok_emb, idx, axis=0)
-        if cfg.sampler == "autoregressive":
-            # learned start embedding (reference transformer_arch.py:220,
-            # 256-259 prepends ``start_tok``; with our fixed-length shifted
-            # stream, position 0's token embedding IS the start token — the
-            # shift provides real tokens for positions >= 1). Zeros init
-            # matches the reference parameter.
-            start = self.param(
-                "start_tok", nn.initializers.zeros, (cfg.n_emb,)
-            )
-            tok = jnp.concatenate(
-                [
-                    jnp.broadcast_to(start, (tok.shape[0], 1, cfg.n_emb)),
-                    tok[:, 1:],
-                ],
-                axis=1,
-            )
-        x = (
-            tok
-            + pos_emb[None, : idx.shape[1]]
-            + jnp.take(segm_emb, segm_tokens, axis=0)
-            + jnp.take(texture_emb, texture_tokens, axis=0)
-        ).astype(self.dtype)
-        x = nn.Dropout(cfg.embd_pdrop, deterministic=deterministic)(x)
-
-        body = Block if deterministic else nn.remat(Block)
-        ScanBlocks = nn.scan(
-            body,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=cfg.n_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )
-        x, _ = ScanBlocks(
-            n_head=cfg.n_head,
-            attn_pdrop=cfg.attn_pdrop,
-            resid_pdrop=cfg.resid_pdrop,
-            causal=cfg.sampler == "autoregressive",
-            deterministic=deterministic,
-            flash=flash,
-            bf16_scores=bf16_scores,
-            dtype=self.dtype,
-            name="blocks",
-        )(x, None)
-
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
 
         heads = self.param(
             "heads",
@@ -320,49 +330,13 @@ class Transformer(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         cfg = self.cfg
-        init02 = nn.initializers.normal(stddev=0.02)
-        tok_emb = self.param("tok_emb", init02, (cfg.vocab_size, cfg.n_emb))
-        pos_emb = self.param(
-            "pos_emb", nn.initializers.zeros, (cfg.block_size, cfg.n_emb)
+        x = _encode_trunk(
+            self, cfg, self.dtype, idx, segm_tokens, None, deterministic
         )
-        segm_emb = self.param(
-            "segm_emb", init02, (cfg.segm_codebook_size, cfg.n_emb)
+        head = self.param(
+            "head", nn.initializers.normal(stddev=0.02),
+            (cfg.n_emb, cfg.codebook_size),
         )
-
-        tok = jnp.take(tok_emb, idx, axis=0)
-        if cfg.sampler == "autoregressive":
-            start = self.param("start_tok", nn.initializers.zeros, (cfg.n_emb,))
-            tok = jnp.concatenate(
-                [jnp.broadcast_to(start, (tok.shape[0], 1, cfg.n_emb)), tok[:, 1:]],
-                axis=1,
-            )
-        x = (
-            tok
-            + pos_emb[None, : idx.shape[1]]
-            + jnp.take(segm_emb, segm_tokens, axis=0)
-        ).astype(self.dtype)
-        x = nn.Dropout(cfg.embd_pdrop, deterministic=deterministic)(x)
-
-        body = Block if deterministic else nn.remat(Block)
-        ScanBlocks = nn.scan(
-            body,
-            variable_axes={"params": 0},
-            split_rngs={"params": True, "dropout": True},
-            length=cfg.n_layers,
-            metadata_params={nn.PARTITION_NAME: "layers"},
-        )
-        x, _ = ScanBlocks(
-            n_head=cfg.n_head,
-            attn_pdrop=cfg.attn_pdrop,
-            resid_pdrop=cfg.resid_pdrop,
-            causal=cfg.sampler == "autoregressive",
-            deterministic=deterministic,
-            dtype=self.dtype,
-            name="blocks",
-        )(x, None)
-
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
-        head = self.param("head", init02, (cfg.n_emb, cfg.codebook_size))
         return jnp.einsum(
             "btd,dc->btc",
             x.astype(self.dtype),
