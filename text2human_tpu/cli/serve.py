@@ -152,9 +152,15 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
             imgs, segm = pipe.sample_from_pose(
                 params, sub, pose, shape_attr, up, lo, ou, items[0]["steps"]
             )
-            imgs = np.asarray(imgs[:n])
-            segm = np.asarray(segm[:n])
-        return [(to_uint8(imgs[i]), segm_to_palette(segm[i])) for i in range(n)]
+            # quantize to uint8 ON DEVICE (same rounding as to_uint8): the
+            # device->host copy shrinks 4x — at batch 16 that is 25 MB -> 6 MB
+            # per batch, a measured ~0.5 img/s of HTTP throughput on a
+            # tunneled chip (BENCHMARKS.md "Serving over HTTP")
+            imgs_u8 = np.asarray(
+                jnp.clip(imgs[:n] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+            )
+            segm = np.asarray(segm[:n].astype(jnp.uint8))
+        return [(imgs_u8[i], segm_to_palette(segm[i])) for i in range(n)]
 
     # the AR decode ignores sample_steps (it always runs one pass per
     # position) — collapse it in the group key so step-count variations
@@ -381,7 +387,14 @@ def build_server(
     lock = threading.Lock()
     batcher = make_batched_generate(session, opt, lock, max_batch, window_ms)
     handler = make_handler(session, opt, lock, batcher)
-    server = ThreadingHTTPServer(("127.0.0.1", port), handler)
+    class Server(ThreadingHTTPServer):
+        # the stdlib default listen backlog of 5 resets connections the
+        # moment a burst of concurrent clients exceeds it (measured: 32
+        # simultaneous /generate posts against a 3 s batch -> ECONNRESET);
+        # batched serving exists precisely for such bursts
+        request_queue_size = 128
+
+    server = Server(("127.0.0.1", port), handler)
     server.batcher = batcher  # observability (tests, ops)
     server.opt = opt  # warmup() needs the configured geometry
     return server
