@@ -245,3 +245,16 @@ def test_serve_generate_roundtrip():
         assert img2.ndim == 3 and img2.shape[2] == 3
     finally:
         server.shutdown()
+
+
+def test_choose_pad_size():
+    """Two-tier padding: light traffic -> small program, bursts -> big."""
+    from text2human_tpu.cli.serve import choose_pad_size
+
+    assert choose_pad_size(1, 16) == 4
+    assert choose_pad_size(4, 16) == 4
+    assert choose_pad_size(5, 16) == 16
+    assert choose_pad_size(16, 16) == 16
+    assert choose_pad_size(1, 4) == 4   # small == max: one program
+    assert choose_pad_size(1, 1) == 1
+    assert choose_pad_size(2, 2) == 2

@@ -110,6 +110,19 @@ def synthetic_pose(opt) -> "np.ndarray":
     )
 
 
+def choose_pad_size(n: int, max_batch: int, small: int = 4) -> int:
+    """Two-tier padding: light traffic runs the small program, bursts the
+    big one.
+
+    Padding every batch to ``max_batch`` makes a lone interactive request
+    pay the full serving-batch latency (3.0 s at b=16 vs 0.87 s at b=4 —
+    BENCHMARKS.md); two compiled programs buy a 3.5x better single-request
+    p50 at the cost of one extra compile, which the warmup covers."""
+    if n <= small < max_batch:
+        return small
+    return max_batch
+
+
 def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
     """Dynamic batcher for the stateless /generate route: concurrent requests
     coalesce into one padded TPU batch (pipelines/batching.py).  Serialized
@@ -129,20 +142,21 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
 
     def run_batch(items):
         n = len(items)
-        pose = np.stack(pad_batch([it["pose_i"] for it in items], max_batch))
+        size = choose_pad_size(n, max_batch)
+        pose = np.stack(pad_batch([it["pose_i"] for it in items], size))
         pose = jnp.asarray(normalize_densepose(pose), jnp.float32)[..., None]
         shape_attr = jnp.asarray(
             np.stack(
                 pad_batch(
                     [generate_shape_attributes(it["shape_text"]) for it in items],
-                    max_batch,
+                    size,
                 )
             ),
             jnp.int32,
         )
         tex = pad_batch(
             [generate_texture_attributes(it["texture_text"])[:3] for it in items],
-            max_batch,
+            size,
         )
         up, lo, ou = (
             jnp.asarray([t[i] for t in tex], jnp.int32) for i in range(3)
@@ -401,18 +415,27 @@ def build_server(
 
 
 def warmup(server) -> float:
-    """Push one synthetic request through the /generate batcher so the full
-    pipeline compiles (and lands in the persistent XLA cache) BEFORE the
-    server starts answering real traffic.  Returns the elapsed seconds."""
-    t0 = time.time()
-    server.batcher.submit(
-        {
+    """Push synthetic requests through the /generate batcher so the pipeline
+    compiles (and lands in the persistent XLA cache) BEFORE the server starts
+    answering real traffic — one single request (the small-padded program)
+    and, when the batcher is two-tier, one max_batch burst (the big one).
+    Returns the elapsed seconds."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def item():
+        return {
             "pose_i": synthetic_pose(server.opt),
             "shape_text": "a woman, T-shirt, pants",
             "texture_text": "pure color, pure color",
             "steps": 0,
         }
-    )
+
+    t0 = time.time()
+    server.batcher.submit(item())
+    mb = server.batcher.max_batch
+    if choose_pad_size(1, mb) != mb:
+        with ThreadPoolExecutor(mb) as ex:
+            list(ex.map(lambda _: server.batcher.submit(item()), range(mb)))
     return time.time() - t0
 
 
