@@ -185,8 +185,11 @@ def test_pipeline_shard_map_mesh(rng):
     sh_params, (sh_segm, sh_mask) = shard_pipeline(mesh, params, (segm, mask))
     out = pipe2.sample_from_parsing(sh_params, jax.random.key(0), sh_segm, sh_mask, 4)
     assert len(out.sharding.device_set) == 8
-    np.testing.assert_allclose(
-        np.asarray(jax.device_get(out)), np.asarray(ref), atol=1e-4
+    # exact equality, not a tolerance: the claim in BENCHMARKS/SCALING is
+    # bit-identity (the scan state and randomness stay global-shaped and the
+    # per-row compute is untouched by the dp split), so test exactly that
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out)), np.asarray(ref)
     )
 
 

@@ -211,6 +211,26 @@ def test_serve_generate_roundtrip():
             with urllib.request.urlopen(req, timeout=300) as r:
                 return json.loads(r.read())
 
+        def expect_400(path, body):
+            try:
+                post(path, body)
+                raise AssertionError(f"expected HTTPError for {path}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (path, e.code)
+
+        # session-ordering violations and undecodable client bytes are
+        # CLIENT errors (400), not server 500s
+        expect_400("/session/parsing", {"shape_text": "a woman"})
+        expect_400("/session/generate", {"texture_text": "denim"})
+        expect_400(
+            "/session/pose",
+            {"pose_png_b64": base64.b64encode(b"not a png").decode()},
+        )
+        expect_400(
+            "/generate",
+            {"pose_png_b64": base64.b64encode(b"junk bytes").decode()},
+        )
+
         assert "h" in post("/session/pose", {})
         p0 = post("/session/parsing", {"shape_text": "a woman, T-shirt, pants"})
         import io
@@ -245,6 +265,25 @@ def test_serve_generate_roundtrip():
         assert img2.ndim == 3 and img2.shape[2] == 3
     finally:
         server.shutdown()
+
+
+def test_server_stats_percentiles():
+    """Nearest-rank over len-1: p50 of a two-sample window is the lower
+    sample, not the max (the naive int(p*len) index is biased high)."""
+    from text2human_tpu.cli.serve import ServerStats
+
+    stats = ServerStats()
+    stats.record("/x", 1.0, True)
+    stats.record("/x", 3.0, True)
+    snap = stats.snapshot()["routes"]["/x"]["latency_s"]
+    assert snap["p50"] == 1.0
+    assert snap["p99"] == 3.0
+    for v in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]:
+        stats.record("/y", v, True)
+    snap = stats.snapshot()["routes"]["/y"]["latency_s"]
+    assert snap["p50"] == 0.5  # round(0.5 * 9) = index 4
+    assert snap["p90"] == 0.9
+    assert snap["p99"] == 1.0
 
 
 def test_choose_pad_size():

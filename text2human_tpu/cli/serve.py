@@ -71,7 +71,9 @@ class ServerStats:
             routes = {}
             for route, count in self._counts.items():
                 lats = sorted(self._latencies[route])
-                q = lambda p: lats[min(len(lats) - 1, int(p * len(lats)))]
+                # nearest-rank over len-1: unbiased for small windows (p50 of
+                # two samples is the lower one, not the max)
+                q = lambda p: lats[int(round(p * (len(lats) - 1)))]
                 routes[route] = {
                     "count": count,
                     "errors": self._errors.get(route, 0),
@@ -228,9 +230,15 @@ def make_handler(session, opt, lock, batcher, stats=None):
         if req.get("pose_png_b64"):
             from text2human_tpu.ui.session import pose_i_from_iuv
 
-            iuv = np.array(
-                Image.open(io.BytesIO(base64.b64decode(req["pose_png_b64"])))
-            )
+            try:
+                iuv = np.array(
+                    Image.open(io.BytesIO(base64.b64decode(req["pose_png_b64"])))
+                )
+            except Exception as e:
+                # undecodable client bytes (bad base64, not a PNG, truncated)
+                # are a 400, not a 500 — PIL raises UnidentifiedImageError
+                # (an OSError) which would otherwise bubble as a server error
+                raise ValueError(f"pose_png_b64 is not a decodable image: {e}")
             # reference demo semantics: LANCZOS to the model resolution,
             # then keep the I channel (ui_demo.py:90-95)
             return pose_i_from_iuv(iuv, model_pose_hw(opt))
@@ -420,7 +428,6 @@ def warmup(server) -> float:
     answering real traffic — one single request (the small-padded program)
     and, when the batcher is two-tier, one max_batch burst (the big one).
     Returns the elapsed seconds."""
-    from concurrent.futures import ThreadPoolExecutor
 
     def item():
         return {
@@ -434,8 +441,12 @@ def warmup(server) -> float:
     server.batcher.submit(item())
     mb = server.batcher.max_batch
     if choose_pad_size(1, mb) != mb:
-        with ThreadPoolExecutor(mb) as ex:
-            list(ex.map(lambda _: server.batcher.submit(item()), range(mb)))
+        # call the batch runner DIRECTLY with a full max_batch burst: going
+        # through submit() lets the collect window split the burst into
+        # sub-batches that all pad to the small tier and re-run the
+        # already-compiled small program, leaving the big program to compile
+        # (minutes, under the TPU lock) on the first real burst
+        server.batcher.run_batch([item() for _ in range(mb)])
     return time.time() - t0
 
 

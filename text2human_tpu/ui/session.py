@@ -111,7 +111,10 @@ class InteractiveSession:
     # -- step 2: shape text -> parsing (ui_demo.py:102-134)
 
     def generate_parsing(self, shape_text: str) -> np.ndarray:
-        assert self.pose is not None, "feed_pose first"
+        if self.pose is None:
+            # ordering violation is a *client* error (the HTTP layer maps
+            # ValueError to 400), not a server bug
+            raise ValueError("feed_pose first")
         attrs = generate_shape_attributes(shape_text, encoder=self.text_encoder)
         self.shape_attr = jnp.asarray([attrs], jnp.int32)
         segm = self.pipe.generate_parsing(self.params, self.pose, self.shape_attr)
@@ -125,7 +128,8 @@ class InteractiveSession:
         """Paint ``cls_id`` at (y, x) centers with a square brush, like the
         demo's per-class stroke replay.  Each call is one stroke and is
         undoable with :meth:`undo`."""
-        assert self.segm is not None, "generate_parsing first"
+        if self.segm is None:
+            raise ValueError("generate_parsing first")
         if not 0 <= cls_id < len(PALETTE):
             # reject before mutating: an out-of-range class id would corrupt
             # the parsing map and break every later palette render
@@ -158,7 +162,8 @@ class InteractiveSession:
     # -- step 4: texture text -> image (ui_demo.py:154-179)
 
     def generate_human(self, texture_text: str, sample_steps: int = 0) -> np.ndarray:
-        assert self.segm is not None, "generate_parsing first"
+        if self.segm is None:
+            raise ValueError("generate_parsing first")
         attrs = generate_texture_attributes(texture_text)[:3]
         self.texture_attrs = attrs
         upper, lower, outer = (jnp.asarray([a], jnp.int32) for a in attrs)
