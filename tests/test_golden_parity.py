@@ -774,3 +774,46 @@ def test_golden_ddpm_model_no_timestep():
         {"params": params}, jnp.asarray(x)
     )
     assert_close(got, want, 2e-3, "ddpm_model_no_t")
+
+
+# ---------------------------------------------------------------------------
+# Decoder feature taps: get_feature_top / get_feature_middle
+# (vqgan_arch.py:1036-1087 — dead code in the reference, ported for parity).
+# ---------------------------------------------------------------------------
+
+
+def test_golden_decoder_feature_taps(rng):
+    va = ref("vqgan_arch")
+    tcfg = C.TOP_VQGAN
+    torch.manual_seed(7)
+    top_dec = va.Decoder(
+        in_channels=tcfg.in_channels, resolution=tcfg.resolution,
+        z_channels=tcfg.z_channels, ch=tcfg.ch, out_ch=tcfg.out_ch,
+        num_res_blocks=tcfg.num_res_blocks,
+        attn_resolutions=list(tcfg.attn_resolutions), ch_mult=tcfg.ch_mult,
+    ).eval()
+    z = rng.standard_normal((1, tcfg.z_channels, 32, 16)).astype(np.float32)
+    with torch.no_grad():
+        feat_top = top_dec.get_feature_top(torch.from_numpy(z))
+        mid_h = torch.randn_like(feat_top)
+        feat_mid = top_dec.get_feature_middle(torch.from_numpy(z), mid_h)
+
+    dec_p = ti.decoder_params(
+        top_dec.state_dict(), tcfg.num_resolutions, tcfg.num_res_blocks
+    )
+    zj = jnp.asarray(z.transpose(0, 2, 3, 1))
+    got_top = jax.jit(
+        lambda p, a: Decoder(tcfg).apply({"params": p}, a, feature_tap="top")
+    )(dec_p, zj)
+    assert_close(got_top, nhwc(feat_top), 2e-3, "get_feature_top")
+    got_mid = jax.jit(
+        lambda p, a, m: Decoder(tcfg).apply(
+            {"params": p}, a, m, feature_tap="middle"
+        )
+    )(dec_p, zj, jnp.asarray(nhwc(mid_h)))
+    assert_close(got_mid, nhwc(feat_mid), 2e-3, "get_feature_middle")
+
+    # middle without the fused feature is a usage error, matching the
+    # reference's required mid_h positional
+    with pytest.raises(ValueError, match="requires bot_h"):
+        Decoder(tcfg).apply({"params": dec_p}, zj, feature_tap="middle")

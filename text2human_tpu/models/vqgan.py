@@ -4,7 +4,8 @@ Parity targets (reference models/archs/vqgan_arch.py):
   Encoder        :818-919
   Decoder        :922-1033  incl. the hierarchy fusion hook (h += bot_h after
                   the first upsample, i_level==4 for the 5-level top decoder,
-                  :1023-1024)
+                  :1023-1024) and the get_feature_top/get_feature_middle
+                  early-exit taps (:1036-1087, via feature_tap=)
   DecoderRes     :1090-1151
   Discriminator  :1155-1203 (PatchGAN)
 
@@ -98,7 +99,18 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
-    """Decoder with optional bottom-feature fusion after the first upsample."""
+    """Decoder with optional bottom-feature fusion after the first upsample.
+
+    ``feature_tap`` reproduces the reference's early-exit variants
+    (vqgan_arch.py:1036-1057 ``get_feature_top``, :1059-1087
+    ``get_feature_middle`` — dead code there, implemented for full parity):
+      * ``"top"``    — return the feature right after the deepest level's
+        blocks + upsample, WITHOUT the bot_h fusion.
+      * ``"middle"`` — add ``bot_h`` (the reference calls it ``mid_h``) at
+        that same point, then return after the next level's blocks + upsample.
+    The reference hardcodes ``i_level == 4``/``3`` (its decoders all have 5
+    levels); we generalize to ``num_res - 1``/``num_res - 2`` consistently
+    with the fusion hook."""
 
     cfg: VQGANConfig
     give_pre_end: bool = False
@@ -111,7 +123,14 @@ class Decoder(nn.Module):
         *,
         deterministic: bool = True,
         return_pre_out: bool = False,
+        feature_tap: Optional[str] = None,
     ):
+        if feature_tap not in (None, "top", "middle"):
+            raise ValueError(f"unknown feature_tap: {feature_tap!r}")
+        if feature_tap == "middle" and bot_h is None:
+            # the reference's get_feature_middle takes mid_h as a required
+            # positional (vqgan_arch.py:1059)
+            raise ValueError("feature_tap='middle' requires bot_h (mid_h)")
         cfg = self.cfg
         num_res = cfg.num_resolutions
         Res, Attn = _block_types(cfg)
@@ -148,8 +167,13 @@ class Decoder(nn.Module):
             # hierarchy fusion hook (reference vqgan_arch.py:1023-1024):
             # inject the bottom DecoderRes feature right after the deepest
             # level's upsample (i_level == num_res - 1, i.e. 4 for the top).
-            if i_level == num_res - 1 and bot_h is not None:
-                h = h + bot_h.astype(h.dtype)
+            if i_level == num_res - 1:
+                if feature_tap == "top":
+                    return h.astype(jnp.float32)
+                if bot_h is not None:
+                    h = h + bot_h.astype(h.dtype)
+            if i_level == num_res - 2 and feature_tap == "middle":
+                return h.astype(jnp.float32)
 
         if self.give_pre_end:
             return h.astype(jnp.float32)
