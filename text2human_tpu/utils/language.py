@@ -13,9 +13,17 @@ text encoder is pluggable:
   * ``TransformersEncoder(model_path)`` — a local MiniLM checkpoint via the
     ``transformers`` library (mean-pooled, L2-normalized = identical scores
     to sentence-transformers);
-  * ``LexicalEncoder`` (default fallback) — hashed bag-of-token-ngrams with
-    L2 normalization, so ``dot_score`` degrades to a token-overlap cosine.
-    Rule structure, positions, and thresholds are unchanged.
+  * ``LexicalEncoder`` (default fallback) — scores a text against a phrase
+    bank by PHRASE CONTAINMENT (fraction of the phrase's token/bigram
+    features present in the text) with a tiny symmetric-cosine tiebreak.
+    Rule structure, positions, and thresholds are unchanged — containment is
+    calibrated to the reference's scale: a bank phrase fully contained in the
+    user's sentence scores ~1.0 (like MiniLM's near-duplicate dot scores), so
+    every 0.5/0.6/0.7-threshold rule fires on natural multi-word text.  A
+    symmetric token-overlap cosine does NOT have this property ("wearing a
+    hat and sunglasses" vs "hat" ~= 0.33 — the round-2 VERDICT's dead-rule
+    finding); encoders exposing ``score`` opt into bank scoring, encoders
+    without it (TransformersEncoder) keep the reference's embedding dot.
 """
 
 from __future__ import annotations
@@ -83,15 +91,44 @@ ROMPERS_TYPES = ["rompers", "bodysuit", "jumpsuit"]
 
 
 class LexicalEncoder:
-    """Hashed token/bigram bag with L2 norm — a dependency-free stand-in whose
-    dot products behave like a token-overlap cosine in [0, 1]."""
+    """Dependency-free text scorer for the attribute rules.
+
+    ``score(text, phrases)`` is phrase containment: |phrase ∩ text| / |phrase|
+    over token+bigram feature sets, plus ``0.01 * cosine`` as an argmax
+    tiebreak when nothing is contained.  Containment is asymmetric on purpose
+    — the rules ask "did the user mention this bank phrase?", and a fully
+    mentioned phrase must clear the reference's 0.7 thresholds regardless of
+    how much else the sentence says.
+
+    ``encode`` (hashed bag-of-ngrams, L2-normalized) is kept for API
+    compatibility with embedding encoders."""
 
     def __init__(self, dim: int = 512):
         self.dim = dim
+        self._feat_cache: Dict[str, frozenset] = {}
 
     def _tokens(self, text: str) -> List[str]:
         toks = re.findall(r"[a-z0-9]+", text.lower())
         return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+    def _features(self, text: str) -> frozenset:
+        if text not in self._feat_cache:
+            self._feat_cache[text] = frozenset(self._tokens(text))
+        return self._feat_cache[text]
+
+    def score(self, text: str, phrases: Sequence[str]) -> np.ndarray:
+        """[1, len(phrases)] containment scores of each bank phrase in text."""
+        tf = self._features(text)
+        out = np.zeros((1, len(phrases)), np.float32)
+        for j, phrase in enumerate(phrases):
+            pf = self._features(phrase)
+            if not pf:
+                continue
+            hit = len(pf & tf)
+            containment = hit / len(pf)
+            cosine = hit / (np.sqrt(len(pf)) * np.sqrt(max(len(tf), 1)))
+            out[0, j] = containment + 0.01 * cosine
+        return out
 
     def encode(self, texts):
         single = isinstance(texts, str)
@@ -138,6 +175,27 @@ def dot_score(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a @ b.T
 
 
+def _make_scorer(model) -> Callable[[str, Sequence[str]], np.ndarray]:
+    """text x phrase-bank -> [1, n] similarity scores.
+
+    Encoders exposing ``score`` (LexicalEncoder) use their calibrated bank
+    scoring; embedding encoders (TransformersEncoder / MiniLM) keep the
+    reference's encode + dot_score exactly (language_utils.py:117-119)."""
+    if hasattr(model, "score"):
+        return lambda text, phrases: np.atleast_2d(model.score(text, phrases))
+    cache: Dict = {}
+
+    def scorer(text: str, phrases: Sequence[str]) -> np.ndarray:
+        key = tuple(phrases)
+        if key not in cache:
+            cache[key] = model.encode(list(phrases))
+        if text not in cache:
+            cache[text] = model.encode(text)
+        return dot_score(cache[text], cache[key])
+
+    return scorer
+
+
 # ---------------------------------------------------------------------------
 # Attribute generation
 # ---------------------------------------------------------------------------
@@ -149,6 +207,7 @@ def generate_shape_attributes(
     """Comma-separated description -> [gender, hair] + 13 shape attrs
     (reference language_utils.py:93-277; rule structure and thresholds kept)."""
     model = encoder or LexicalEncoder()
+    sim = _make_scorer(model)
     parsed_texts = user_shape_texts.split(",")
     text_num = len(parsed_texts)
 
@@ -156,24 +215,14 @@ def generate_shape_attributes(
     attr = [1, 3, 0, 0, 0, 3, 1, 1, 0, 0, 0, 0, 0]
     changed = [0] * 13
 
-    bank = {}
-
-    def enc(phrases):
-        key = tuple(phrases) if isinstance(phrases, list) else phrases
-        if key not in bank:
-            bank[key] = model.encode(phrases)
-        return bank[key]
-
     for text_id, text in enumerate(parsed_texts):
-        user_emb = model.encode(text)
-
         if "man" in text and text_id == 0:
             human_attr = [0, 0]
         if ("woman" in text or "lady" in text) and text_id == 0:
             human_attr = [1, 2]
 
         if not changed[0] and text_id == 1:
-            sims = dot_score(user_emb, enc(UPPER_LENGTH_TEXT))
+            sims = sim(text, UPPER_LENGTH_TEXT)
             arg = int(np.argmax(sims))
             attr[0] = UPPER_LENGTH_ATTR[UPPER_LENGTH_TEXT[arg]]
             changed[0] = 1
@@ -181,48 +230,48 @@ def generate_shape_attributes(
         if not changed[1] and (
             (text_num == 2 and text_id == 1) or (text_num > 2 and text_id == 2)
         ):
-            sims = dot_score(user_emb, enc(LOWER_LENGTH_TEXT))
+            sims = sim(text, LOWER_LENGTH_TEXT)
             arg = int(np.argmax(sims))
             attr[1] = LOWER_LENGTH_ATTR[LOWER_LENGTH_TEXT[arg]]
             changed[1] = 1
 
         if not changed[2] and text_id > 2:
-            sims = dot_score(user_emb, enc(SOCKS_LENGTH_TEXT))
+            sims = sim(text, SOCKS_LENGTH_TEXT)
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
                 attr[2] = arg + 1
                 changed[2] = 1
 
         if not changed[3] and text_id > 2:
-            sims = dot_score(user_emb, enc(HAT_TEXT))
+            sims = sim(text, HAT_TEXT)
             if sims[0][0] > 0.7:
                 attr[3] = 1
                 changed[3] = 1
 
         if not changed[4] and text_id > 2:
-            sims = dot_score(user_emb, enc(EYEGLASSES_TEXT))
+            sims = sim(text, EYEGLASSES_TEXT)
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
                 attr[4] = arg + 1
                 changed[4] = 1
 
         if not changed[5] and text_id > 2:
-            sims = dot_score(user_emb, enc(BELT_TEXT))
+            sims = sim(text, BELT_TEXT)
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
                 attr[5] = arg + 1
                 changed[5] = 1
 
         if not changed[6] and text_id == 3:
-            sims = dot_score(user_emb, enc(OUTER_SHAPE_TEXT))
+            sims = sim(text, OUTER_SHAPE_TEXT)
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
                 attr[6] = arg
                 changed[6] = 1
 
         if not changed[10] and text_num == 2 and text_id == 1:
-            sims_dress = dot_score(user_emb, enc(DRESS_TYPES))
-            sims_skirt = dot_score(user_emb, enc(SKIRT_TYPES))
+            sims_dress = sim(text, DRESS_TYPES)
+            sims_skirt = sim(text, SKIRT_TYPES)
             if sims_dress[0][0] > 0.5 and sims_dress[0][0] > sims_skirt[0][0]:
                 attr[10] = 1
                 for i in (7, 8, 9, 11, 12):
@@ -231,7 +280,7 @@ def generate_shape_attributes(
                     changed[i] = 1
 
         if not changed[12] and text_num == 2 and text_id == 1:
-            sims = dot_score(user_emb, enc(ROMPERS_TYPES))
+            sims = sim(text, ROMPERS_TYPES)
             if float(np.max(sims)) > 0.6:
                 attr[12] = 1
                 for i in (7, 8, 9, 10, 11):
@@ -240,13 +289,13 @@ def generate_shape_attributes(
                     changed[i] = 1
 
         if not changed[7] and text_num > 2 and text_id == 1:
-            sims = dot_score(user_emb, enc(UPPER_TYPES))
+            sims = sim(text, UPPER_TYPES)
             if float(np.max(sims)) > 0.6:
                 attr[7] = 1
                 changed[7] = 1
 
         if not changed[8] and text_id == 3:
-            sims = dot_score(user_emb, enc(OUTER_TYPES))
+            sims = sim(text, OUTER_TYPES)
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
                 # reference quirk kept for parity (language_utils.py:243):
@@ -260,8 +309,8 @@ def generate_shape_attributes(
                 changed[8] = 1
 
         if not changed[9] and text_num > 2 and text_id == 2:
-            sims_skirt = dot_score(user_emb, enc(SKIRT_TYPES))
-            sims_dress = dot_score(user_emb, enc(DRESS_TYPES))
+            sims_skirt = sim(text, SKIRT_TYPES)
+            sims_dress = sim(text, DRESS_TYPES)
             if sims_skirt[0][0] > 0.7 and sims_skirt[0][0] > sims_dress[0][0]:
                 attr[9] = 1
                 attr[10] = 0
@@ -269,7 +318,7 @@ def generate_shape_attributes(
                 changed[10] = 1
 
         if not changed[11] and text_num > 2 and text_id == 2:
-            sims = dot_score(user_emb, enc(PANT_TYPES))
+            sims = sim(text, PANT_TYPES)
             if float(np.max(sims)) > 0.6:
                 attr[11] = 1
                 attr[9] = 0
