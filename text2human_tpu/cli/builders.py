@@ -183,7 +183,10 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
         return HierarchyVQGANTrainer(
             vqgan_cfg(opt, "top_", remat=True),
             QuantizerConfig(
-                n_embed=1024, embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
+                # honor the YAML's top codebook size (1024 in every released
+                # config; debug geometries shrink it)
+                n_embed=_get(opt, "n_embed", 1024),
+                embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
             ),
             vqgan_cfg(opt, "bot_", remat=True),
             QuantizerConfig(
@@ -241,7 +244,10 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
             ),
             vqgan_cfg(opt, "top_"),
             QuantizerConfig(
-                n_embed=1024, embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
+                # honor the YAML's top codebook size (1024 in every released
+                # config; debug geometries shrink it)
+                n_embed=_get(opt, "n_embed", 1024),
+                embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
             ),
             vqgan_cfg(opt, "bot_"),
             QuantizerConfig(
@@ -265,8 +271,11 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
                 out_dim=_get(opt, "embedder_out_dim", 128),
                 cls_num_list=tuple(_get(opt, "attr_class_num", C.PARSING_GEN_ATTR.cls_num_list)),
             ),
-            UNetConfig(
-                in_channels=_get(opt, "encoder_in_channels", 1),
+            # same debug-size overrides (unet_base_channels/unet_num_stages)
+            # as the index-pred job, so tiny trained checkpoints stay
+            # geometry-compatible with the debug sample pipeline
+            _unet_cfg_opt(
+                opt, "encoder_in_channels", 1, "",
                 attr_embedding=_get(opt, "embedder_out_dim", 128),
             ),
             FCNHeadConfig(
@@ -302,7 +311,8 @@ def build_pipeline(opt: Dict[str, Any]):
     cfgs = PipelineConfigs(
         top=vqgan_cfg(opt, "top_"),
         top_quant=QuantizerConfig(
-            n_embed=1024, embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
+            n_embed=_get(opt, "n_embed", 1024),
+            embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
         ),
         bot=vqgan_cfg(opt, "bot_"),
         bot_quant=QuantizerConfig(

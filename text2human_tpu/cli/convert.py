@@ -6,6 +6,15 @@
       --sampler sampler.pth --index-pred index_pred_net.pth \
       --parsing-gen parsing_gen.pth --out checkpoints/pipeline
 
+  # assemble six NATIVELY trained (cli/train.py) checkpoints the same way
+  python -m text2human_tpu.cli.convert assemble-pipeline \
+      --top experiments/vqvae_top/models/99 \
+      --bottom experiments/vqvae_bottom/models/99 \
+      --segm experiments/parsing_token/models/99 \
+      --sampler experiments/sampler/models/99 \
+      --index-pred experiments/index_pred/models/99 \
+      --parsing-gen experiments/parsing_gen/models/99 --out checkpoints/pipeline
+
   # export our trained top VQGAN back to the reference layout
   python -m text2human_tpu.cli.convert export-top \
       --ckpt experiments/vqvae_top/models/final --out vqvae_top_exported.pth
@@ -36,6 +45,18 @@ def main(argv=None):
     )
     imp.add_argument("--out", required=True)
 
+    asm = sub.add_parser(
+        "assemble-pipeline",
+        help="six NATIVE train-CLI orbax checkpoints -> one pipeline checkpoint",
+    )
+    asm.add_argument("--top", required=True, help="top VQGAN checkpoint dir")
+    asm.add_argument("--bottom", required=True, help="hierarchy checkpoint dir")
+    asm.add_argument("--segm", required=True, help="parsing tokenizer checkpoint dir")
+    asm.add_argument("--sampler", required=True, help="sampler checkpoint dir")
+    asm.add_argument("--index-pred", required=True)
+    asm.add_argument("--parsing-gen", default="")
+    asm.add_argument("--out", required=True)
+
     exp = sub.add_parser("export-top",
                          help="our TextureVQGAN params -> reference vqvae_top.pth layout")
     exp.add_argument("--ckpt", required=True, help="orbax checkpoint dir")
@@ -58,6 +79,19 @@ def main(argv=None):
             args.top, args.bottom, args.segm, args.sampler,
             args.index_pred, args.parsing_gen,
             causal_sampler=args.causal_sampler,
+        )
+        save_checkpoint(args.out, params)
+        print(f"wrote pipeline checkpoint -> {args.out}")
+
+    elif args.cmd == "assemble-pipeline":
+        from text2human_tpu.pipelines.assemble import (
+            assemble_pipeline_from_checkpoints,
+        )
+        from text2human_tpu.utils.checkpoint import save_checkpoint
+
+        params = assemble_pipeline_from_checkpoints(
+            args.top, args.bottom, args.segm, args.sampler,
+            args.index_pred, args.parsing_gen,
         )
         save_checkpoint(args.out, params)
         print(f"wrote pipeline checkpoint -> {args.out}")

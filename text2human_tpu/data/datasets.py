@@ -300,3 +300,76 @@ class SyntheticDataset:
             "shape_attr": rng.integers(0, 2, (15,)).astype(np.int64),
             "img_name": f"synthetic_{index:06d}.png",
         }
+
+
+class OverfitFixtureDataset:
+    """Tiny deterministic STRUCTURED dataset every field of which is a
+    learnable function of a small latent description — unlike
+    :class:`SyntheticDataset` (per-pixel noise, unmemorizable), these
+    samples can be overfit by the real training jobs, which is what the
+    end-to-end learning harness (tests/test_overfit_e2e.py) needs:
+
+      * ``segm``          — vertical class bands (blockwise, latent-aligned)
+      * ``image``         — per-class color + a mild vertical gradient, so the
+                            VQGANs must encode real spatial variation
+      * ``texture_mask``  — deterministic per-class texture id (class % 18)
+      * ``densepose``     — an invertible function of segm (class/23*2-1), so
+                            pose -> parsing is exactly learnable
+      * ``attr``          — the sample index in binary
+
+    Same dict schema as the DeepFashion datasets (SURVEY.md §2.5), so it
+    drops into any trainer.
+    """
+
+    def __init__(
+        self,
+        length: int = 4,
+        resolution: int = 64,
+        num_segm_classes: int = 24,
+        num_textures: int = 18,
+        bands: int = 4,
+    ):
+        self.length = length
+        self.res = resolution
+        self.num_segm_classes = num_segm_classes
+        self.num_textures = num_textures
+        self.bands = bands
+
+    def __len__(self):
+        return self.length
+
+    def class_color(self, c: np.ndarray) -> np.ndarray:
+        """[...]-shaped class ids -> [..., 3] colors in [-1, 1] (fixed map)."""
+        r = (c * 37 % 256) / 127.5 - 1.0
+        g = (c * 91 % 256) / 127.5 - 1.0
+        b = (c * 53 % 256) / 127.5 - 1.0
+        return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        h, w = self.res, self.res // 2
+        xs = np.arange(w)
+        band = np.minimum(xs * self.bands // w, self.bands - 1)
+        classes = np.array(
+            [(index * self.bands + k) % self.num_segm_classes
+             for k in range(self.bands)]
+        )
+        segm_row = classes[band]  # [W]
+        segm = np.broadcast_to(segm_row, (h, w)).astype(np.float32)
+
+        grad = (np.arange(h, dtype=np.float32) / max(h - 1, 1) * 0.4 - 0.2)
+        image = self.class_color(segm_row)[None] * 0.8 + grad[:, None, None]
+        image = np.broadcast_to(image, (h, w, 3)).astype(np.float32).copy()
+
+        densepose = (segm / (self.num_segm_classes - 1) * 2.0 - 1.0)[..., None]
+        attr = np.array(
+            [(index >> k) & 1 for k in range(15)], dtype=np.int64
+        )
+        return {
+            "image": image,
+            "densepose": densepose.astype(np.float32),
+            "segm": segm,
+            "texture_mask": (segm % self.num_textures).astype(np.float32),
+            "attr": attr,
+            "shape_attr": attr.copy(),
+            "img_name": f"fixture_{index:06d}.png",
+        }

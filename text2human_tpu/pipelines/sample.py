@@ -135,14 +135,28 @@ class SamplePipeline:
         # grouped-matmul head selection (models/transformer.py ragged_heads):
         # same math, 18x fewer head-stage FLOPs than the masked accumulation
         self.ragged_heads = ragged_heads
-        # multi-chip serving: with a mesh, the denoiser trunk runs under
-        # shard_map with the batch split on ``dp_axis`` — required for the
-        # Pallas attention kernel (XLA cannot partition a custom call by
+        # multi-chip serving: with a dp-only mesh, the denoiser trunk runs
+        # under shard_map with the batch split on ``dp_axis`` — required for
+        # the Pallas attention kernel (XLA cannot partition a custom call by
         # itself) and keeps the ragged-head sort device-local.  The scan
         # state/randomness stays global-shaped, so results are bit-identical
         # to the single-device path (batch must divide the dp axis size).
+        #
+        # With tp > 1 in the mesh, dp-only shard_map does not apply: the
+        # serving layout is einsum attention + jit sharding propagation
+        # (shard the sampler params with parallel.mesh.transformer_param_specs;
+        # XLA splits the einsums per device — docs/SCALING.md).  The fused
+        # kernel is auto-disabled in that layout: it is written for the
+        # whole-head, per-device-batch tile and a heads-split custom call
+        # cannot be partitioned by XLA.
         self.mesh = mesh
         self.dp_axis = dp_axis
+        self._tp_serving = mesh is not None and any(
+            name != dp_axis and dict(mesh.shape)[name] > 1
+            for name in mesh.axis_names
+        )
+        if self._tp_serving:
+            self.fused_attn = False  # einsum path is the tp layout
         self.hierarchy = HierarchyVQ(cfgs.top, cfgs.top_quant, cfgs.bot, cfgs.bot_quant)
         self.segm_vq = SegmVQVAE(cfgs.segm, cfgs.segm_quant)
         self.denoiser = TransformerMultiHead(cfgs.transformer, dtype=dtype)
@@ -199,7 +213,7 @@ class SamplePipeline:
                 ragged_heads=self.ragged_heads,
             )
 
-        if self.mesh is not None:
+        if self.mesh is not None and not self._tp_serving:
             from jax.sharding import PartitionSpec as P
 
             dp = P(self.dp_axis)
