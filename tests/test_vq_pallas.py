@@ -38,3 +38,30 @@ def test_pallas_vq_tie_breaking(rng):
         )
     )
     np.testing.assert_array_equal(got, np.zeros(16, np.int32))
+
+
+def test_vq_impl_auto_dispatch(monkeypatch):
+    """'auto' (the default) selects pallas only when the traced computation
+    targets TPU: default backend tpu -> pallas, but an explicit
+    jax.default_device(cpu) placement wins (host-side param init in bench.py
+    must not emit a TPU-only custom call)."""
+    import jax
+
+    from text2human_tpu.ops import quantize as Q
+
+    assert Q._VQ_IMPL == "auto"  # the shipped default
+    prev = Q._VQ_IMPL
+    try:
+        Q.set_vq_impl("auto")
+        # tests run on cpu -> xla path
+        assert Q._use_pallas() is False
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert Q._use_pallas() is True
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            assert Q._use_pallas() is False
+        Q.set_vq_impl("xla")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert Q._use_pallas() is False
+    finally:
+        Q.set_vq_impl(prev)

@@ -166,7 +166,7 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
             lpips_vars = resolve_lpips_vars(opt)
         num_books = 18 if model_type == "VQImageSegmTextureModel" else 1
         return TopVQGANTrainer(
-            vqgan_cfg(opt, remat=True),
+            vqgan_cfg(opt, remat=bool(_get(opt, "remat", True))),
             QuantizerConfig(
                 n_embed=_get(opt, "n_embed", 1024),
                 embed_dim=_get(opt, "embed_dim", 256),
@@ -181,14 +181,14 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
         if lpips_vars is None:
             lpips_vars = resolve_lpips_vars(opt)
         return HierarchyVQGANTrainer(
-            vqgan_cfg(opt, "top_", remat=True),
+            vqgan_cfg(opt, "top_", remat=bool(_get(opt, "remat", True))),
             QuantizerConfig(
                 # honor the YAML's top codebook size (1024 in every released
                 # config; debug geometries shrink it)
                 n_embed=_get(opt, "n_embed", 1024),
                 embed_dim=_get(opt, "embed_dim", 256), num_codebooks=18
             ),
-            vqgan_cfg(opt, "bot_", remat=True),
+            vqgan_cfg(opt, "bot_", remat=bool(_get(opt, "remat", True))),
             QuantizerConfig(
                 n_embed=_get(opt, "bot_n_embed", 512),
                 embed_dim=_get(opt, "embed_dim", 256),

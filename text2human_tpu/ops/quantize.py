@@ -62,10 +62,13 @@ def nearest_codebook_indices(z_flat: jax.Array, codebook: jax.Array) -> jax.Arra
 
 # nearest-neighbour implementation selector: 'xla' (dense matmul + select) or
 # 'pallas' (fused streaming kernel, TPU only) or 'auto' (pallas when the
-# default backend is TPU).  Default is 'xla': 'auto' mis-dispatches when a
-# computation is explicitly placed on CPU (e.g. param init under
-# jax.default_device) while the default backend is TPU.
-_VQ_IMPL = "xla"
+# computation being traced targets TPU).  Default is 'auto': the fused kernel
+# is ~10% faster for the sampler-training tokenize step measured inside the
+# jit on v5e (BENCHMARKS.md "VQ codebook search") and avoids the [N, K*n_e]
+# HBM intermediate.  'auto' respects an explicit jax.default_device(cpu)
+# placement (e.g. host-side param init while the default backend is TPU), the
+# round-2 reason the default used to be 'xla'.
+_VQ_IMPL = "auto"
 
 
 def set_vq_impl(impl: str):
@@ -80,6 +83,12 @@ def _use_pallas() -> bool:
         return True
     if _VQ_IMPL == "auto":
         try:
+            # an explicit default-device placement wins over the backend:
+            # tracing under `with jax.default_device(cpu)` must not emit a
+            # TPU-only custom call
+            dev = jax.config.jax_default_device
+            if dev is not None:
+                return getattr(dev, "platform", None) == "tpu"
             return jax.default_backend() == "tpu"
         except RuntimeError:
             return False
@@ -94,13 +103,27 @@ def masked_nearest_indices(
     z_flat: [N, d]; codebooks: [K, n_e, d]; cb_ids: [N] int32 -> [N] int32.
 
     Dispatches to the fused Pallas kernel on TPU (no [N, K*n_e] HBM
-    intermediate) or the dense XLA path elsewhere; both are index-exact
-    (tests/test_vq_pallas.py).
+    intermediate) or the dense XLA path elsewhere; both are index-exact under
+    matched matmul precision (tests/test_vq_pallas.py).  On real TPU the two
+    paths can disagree on ~0.1% of rows for random inputs (near-tie argmins
+    flipped by MXU accumulation order); each path is deterministic.
     """
     if _use_pallas():
-        from text2human_tpu.ops.vq_pallas import masked_nearest_indices_pallas
+        from text2human_tpu.ops import vq_pallas
 
-        return masked_nearest_indices_pallas(z_flat, codebooks, cb_ids)
+        # geometry guard: every released codebook (18x1024, 18x512) tiles;
+        # odd debug sizes without a 128-aligned chunking fall back to XLA
+        # instead of failing to lower
+        if _VQ_IMPL != "pallas" and not vq_pallas.supports(codebooks.shape):
+            return masked_nearest_indices_xla(z_flat, codebooks, cb_ids)
+        # indices are non-differentiable (argmin; the straight-through
+        # estimator bypasses them) — stop_gradient keeps autodiff from
+        # JVP-ing into the kernel when this runs inside a GAN train step
+        return vq_pallas.masked_nearest_indices_pallas(
+            jax.lax.stop_gradient(z_flat),
+            jax.lax.stop_gradient(codebooks),
+            cb_ids,
+        )
     return masked_nearest_indices_xla(z_flat, codebooks, cb_ids)
 
 

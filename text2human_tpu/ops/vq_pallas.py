@@ -68,6 +68,23 @@ def _vq_kernel(
         out_ref[:] = arg_ref[:]
 
 
+def pick_chunk(total: int) -> Optional[int]:
+    """Largest codebook chunk <= 1024 dividing ``total`` that the TPU tiling
+    accepts: the [1, chunk] ||e||^2 block needs chunk % 128 == 0, or
+    chunk == total (the whole array in one block)."""
+    for c in range(min(1024, total), 0, -1):
+        if total % c == 0 and (c == total or c % 128 == 0):
+            return c
+    return None
+
+
+def supports(codebooks_shape) -> bool:
+    """Whether the fused kernel can tile this codebook geometry (the 'auto'
+    dispatch in ops/quantize.py falls back to XLA when it cannot)."""
+    k, n_e, _ = codebooks_shape
+    return pick_chunk(k * n_e) is not None
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def masked_nearest_indices_pallas(
     z_flat: jax.Array,
@@ -94,9 +111,12 @@ def masked_nearest_indices_pallas(
         cb_ids = jnp.pad(cb_ids, (0, n_pad))
     n_total = z_flat.shape[0]
 
-    # largest divisor of total <= 1024 keeps the chunk loop exact for any
-    # codebook geometry
-    chunk = max(c for c in range(1, min(1024, total) + 1) if total % c == 0)
+    chunk = pick_chunk(total)
+    if chunk is None:
+        raise ValueError(
+            f"codebook total {total} (= {k} x {n_e}) has no 128-aligned "
+            "chunking; use the XLA path (set_vq_impl('xla') or 'auto')"
+        )
 
     grid = (n_total // tile_n, total // chunk)
     out = pl.pallas_call(
