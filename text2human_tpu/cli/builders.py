@@ -365,4 +365,9 @@ def build_pipeline(opt: Dict[str, Any]):
         sample_steps=_get(opt, "sample_steps", 256),
         num_segm_classes=_get(opt, "segm_num_segm_classes", 24),
     )
-    return SamplePipeline(cfgs)
+    return SamplePipeline(
+        cfgs,
+        # 'absorbing' (reference schedule, default) | 'maskgit' (fast decode,
+        # documented divergence — diffusion/absorbing.py:sample_maskgit)
+        decode_mode=_get(opt, "decode_mode", "absorbing"),
+    )
