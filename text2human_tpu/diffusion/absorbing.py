@@ -257,6 +257,99 @@ def sample_autoregressive(
     return local, cont
 
 
+def maskgit_unmask_counts(num_tokens: int, sample_steps: int) -> "list":
+    """Static per-step unmask counts for the cosine schedule: after step i,
+    floor(T * cos(pi/2 * (i+1)/S)) positions remain masked (0 after the
+    last).  Computed in Python — the counts are jit-static."""
+    remaining = [
+        int(math.floor(num_tokens * math.cos(math.pi / 2 * (i + 1) / sample_steps)))
+        for i in range(sample_steps)
+    ]
+    remaining[-1] = 0
+    counts = []
+    prev = num_tokens
+    for r in remaining:
+        r = min(r, prev - 1) if prev > 0 else 0  # unmask >= 1 per step
+        counts.append(prev - r)
+        prev = r
+    return counts
+
+
+def sample_maskgit(
+    key: jax.Array,
+    diffusion: AbsorbingDiffusion,
+    denoise_fn: DenoiseFn,
+    texture_tokens: jax.Array,
+    sample_steps: int,
+    temp: float = 1.0,
+    choice_temperature: float = 4.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Confidence-ordered multi-token unmasking (MaskGIT, Chang et al.,
+    CVPR 2022) — the fast-decode serving knob.
+
+    DOCUMENTED DIVERGENCE from the reference: sample_model.py:256-328 unmasks
+    positions in RANDOM order over ``sample_steps`` trunk passes (256 by
+    default).  This decode instead commits, each step, the cosine-scheduled
+    number of *most confident* predictions (confidence = log-prob of the
+    sampled token + annealed Gumbel noise, MaskGIT's temperature annealing),
+    so 16-32 trunk passes replace 256.  Off by default — enable with
+    ``decode_mode: maskgit`` (pipelines/sample.py); quality-proxy deltas vs
+    the reference schedule are tested (tests/test_diffusion.py,
+    tests/test_overfit_e2e.py) and benchmarked (BENCHMARKS.md).
+
+    Same contract as :func:`sample_loop`: returns (local [B,T], cont [B,T]),
+    all positions unmasked by the final step.
+    """
+    b, t_len = texture_tokens.shape
+    x_t = jnp.full((b, t_len), diffusion.mask_id, dtype=jnp.int32)
+    unmasked = jnp.zeros((b, t_len), dtype=bool)
+    local = jnp.full((b, t_len), -1, dtype=jnp.int32)
+    texture = texture_tokens.astype(jnp.int32)
+    counts = jnp.asarray(
+        maskgit_unmask_counts(t_len, sample_steps), jnp.int32
+    )
+    ratios = (jnp.arange(sample_steps) + 1.0) / sample_steps
+
+    def body(carry, args):
+        x_t, unmasked, local = carry
+        step_key, n_unmask, ratio = args
+        cat_key, gumbel_key = jax.random.split(step_key)
+
+        logits = denoise_fn(x_t)
+        sel = (
+            logits if logits.ndim == 3 else select_head_logits(logits, texture)
+        ) / temp
+        logp = jax.nn.log_softmax(sel.astype(jnp.float32), axis=-1)
+        sampled = jax.random.categorical(cat_key, sel.astype(jnp.float32), axis=-1)
+        sampled = sampled.astype(jnp.int32)
+
+        conf = jnp.take_along_axis(logp, sampled[..., None], axis=-1)[..., 0]
+        gumbel = -jnp.log(
+            -jnp.log(jax.random.uniform(gumbel_key, conf.shape) + 1e-20) + 1e-20
+        )
+        conf = conf + choice_temperature * (1.0 - ratio) * gumbel
+        # already-committed positions never compete again
+        conf = jnp.where(unmasked, -jnp.inf, conf)
+
+        # threshold = n-th largest confidence per row (static T, traced n)
+        order = jnp.sort(conf, axis=-1)[:, ::-1]
+        thresh = jnp.take_along_axis(
+            order, jnp.full((b, 1), n_unmask - 1, jnp.int32), axis=-1
+        )
+        changes = (conf >= thresh) & (~unmasked)
+
+        x_t = jnp.where(changes, sampled + diffusion.n_embed_per_head * texture, x_t)
+        local = jnp.where(changes, sampled, local)
+        unmasked = unmasked | changes
+        return (x_t, unmasked, local), None
+
+    keys = jax.random.split(key, sample_steps)
+    (x_t, unmasked, local), _ = jax.lax.scan(
+        body, (x_t, unmasked, local), (keys, counts, ratios)
+    )
+    return local, x_t
+
+
 def sample_loop(
     key: jax.Array,
     diffusion: AbsorbingDiffusion,

@@ -35,6 +35,7 @@ from text2human_tpu.diffusion.absorbing import (
     AbsorbingDiffusion,
     sample_autoregressive,
     sample_loop,
+    sample_maskgit,
 )
 from text2human_tpu.models.composites import (
     HierarchyVQ,
@@ -122,8 +123,16 @@ class SamplePipeline:
         ragged_heads: bool = True,
         mesh=None,
         dp_axis: str = "dp",
+        decode_mode: str = "absorbing",
     ):
         self.cfgs = cfgs
+        # 'absorbing' (reference random-order unmasking, the default) or
+        # 'maskgit' (confidence-ordered multi-token unmasking — a documented
+        # divergence that cuts trunk passes ~8x; diffusion/absorbing.py
+        # sample_maskgit, YAML key `decode_mode`)
+        if decode_mode not in ("absorbing", "maskgit"):
+            raise ValueError(f"unknown decode_mode {decode_mode!r}")
+        self.decode_mode = decode_mode
         # whole-sequence fused attention in the decode loop (ops/attn_pallas):
         # measured +58% throughput at batch 32, +5% at batch 4 on v5e
         # (BENCHMARKS.md). Auto: on for TPU backends, off elsewhere (the
@@ -176,6 +185,11 @@ class SamplePipeline:
         self._sample = jax.jit(self._sample_impl, static_argnames=("sample_steps",))
         self._decode = jax.jit(self._decode_impl)
         self._parsing = jax.jit(self._parsing_impl)
+        # small glue stages are jitted too: eagerly they cost dozens of
+        # per-op dispatches (seconds over a serving tunnel, round-3 warm-boot
+        # profiling: 4.6 s + 8.7 s on the first request)
+        self._texture_mask = jax.jit(texture_mask_from_segm)
+        self._tex_tokens = jax.jit(self._tex_tokens_impl)
 
     # -- stage III: parsing map -> segm tokens (sample_model.py:330-340)
 
@@ -187,6 +201,14 @@ class SamplePipeline:
 
     def tokenize_segm(self, params, segm):
         return self._tokenize_segm(params, segm)
+
+    def _tex_tokens_impl(self, texture_mask: jax.Array) -> jax.Array:
+        h, w = self.cfgs.transformer.latent_shape
+        return (
+            nearest_downsample_mask(texture_mask, (h, w))
+            .astype(jnp.int32)
+            .reshape(texture_mask.shape[0], -1)
+        )
 
     # -- stage III: diffusion sampling of top indices (sample_model.py:256-328)
 
@@ -233,6 +255,10 @@ class SamplePipeline:
         if autoregressive:
             local, _ = sample_autoregressive(
                 key, self.diffusion, denoise, texture_tokens
+            )
+        elif self.decode_mode == "maskgit":
+            local, _ = sample_maskgit(
+                key, self.diffusion, denoise, texture_tokens, sample_steps
             )
         else:
             local, _ = sample_loop(
@@ -313,13 +339,8 @@ class SamplePipeline:
         self, params, key, segm: jax.Array, texture_mask: jax.Array, sample_steps=0
     ) -> jax.Array:
         """GT parsing + texture mask -> image batch (SampleFromParsingModel)."""
-        h, w = self.cfgs.transformer.latent_shape
         segm_tokens = self.tokenize_segm(params, segm)
-        texture_tokens = (
-            nearest_downsample_mask(texture_mask, (h, w))
-            .astype(jnp.int32)
-            .reshape(segm.shape[0], -1)
-        )
+        texture_tokens = self._tex_tokens(texture_mask)
         top_local = self.sample_indices(
             params, key, segm_tokens, texture_tokens, sample_steps
         )
@@ -339,7 +360,9 @@ class SamplePipeline:
         """DensePose + attributes -> (image batch, parsing maps)
         (SampleFromPoseModel.inference, sample_model.py:421-429)."""
         segm = self.generate_parsing(params, pose, shape_attr)
-        texture_mask = texture_mask_from_segm(segm, upper_attr, lower_attr, outer_attr)
+        texture_mask = self._texture_mask(
+            segm, upper_attr, lower_attr, outer_attr
+        )
         images = self.sample_from_parsing(params, key, segm, texture_mask, sample_steps)
         return images, segm
 
