@@ -83,38 +83,67 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
             causal_sampler=pipe.cfgs.transformer.sampler == "autoregressive",
         )
 
-    # random-weight smoke mode (explicit --synthetic)
+    # random-weight smoke mode (explicit --synthetic).  Shapes come from
+    # jax.eval_shape (pure tracing — flax .init would EXECUTE the full-size
+    # forward, ~2.5 min on one host core; this path is ~20x faster and
+    # serve's warm-boot budget lives or dies on it, BENCHMARKS.md "Serving
+    # cold start"), values from a numpy RNG with flax-like scales.
     cfgs = pipe.cfgs
     res = cfgs.top.resolution
-    img = jnp.zeros((1, res, res // 2, 3))
-    mask = jnp.zeros((1, res, res // 2))
-    tok = jnp.zeros((1, cfgs.transformer.block_size), jnp.int32)
+    rng = np.random.default_rng(0)
+
+    def fill(path, leaf):
+        # numpy leaves on purpose: the whole tree ships in ONE device_put at
+        # the end — per-leaf jnp transfers over a serving tunnel are minutes
+        name = str(getattr(path[-1], "key", path[-1]))
+        shape, dtype = leaf.shape, leaf.dtype
+        if name in ("bias", "mean"):
+            return np.zeros(shape, dtype)
+        if name in ("scale", "var"):
+            return np.ones(shape, dtype)
+        fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else max(shape[0], 1)
+        std = 1.0 / np.sqrt(max(fan_in, 1))
+        return rng.normal(0.0, std, shape).astype(np.float32).astype(dtype)
+
+    def synth(module_init, *args):
+        variables = jax.eval_shape(module_init, jax.random.key(0), *args)
+        return jax.tree_util.tree_map_with_path(fill, variables)
+
+    img = jax.ShapeDtypeStruct((1, res, res // 2, 3), jnp.float32)
+    mask = jax.ShapeDtypeStruct((1, res, res // 2), jnp.float32)
+    tok = jax.ShapeDtypeStruct((1, cfgs.transformer.block_size), jnp.int32)
     params = {
-        "hierarchy": pipe.hierarchy.init(jax.random.key(0), img, mask)["params"],
-        "segm": pipe.segm_vq.init(
-            jax.random.key(1), jnp.zeros((1, res, res // 2, cfgs.segm.in_channels))
+        "hierarchy": synth(pipe.hierarchy.init, img, mask)["params"],
+        "segm": synth(
+            pipe.segm_vq.init,
+            jax.ShapeDtypeStruct(
+                (1, res, res // 2, cfgs.segm.in_channels), jnp.float32
+            ),
         )["params"],
-        "sampler": pipe.denoiser.init(jax.random.key(2), tok, tok, tok)["params"],
+        "sampler": synth(pipe.denoiser.init, tok, tok, tok)["params"],
     }
     h, w = cfgs.transformer.latent_shape
-    ip = pipe.index_pred.init(
-        jax.random.key(3), jnp.zeros((1, h, w, cfgs.index_unet.in_channels))
+    ip = synth(
+        pipe.index_pred.init,
+        jax.ShapeDtypeStruct((1, h, w, cfgs.index_unet.in_channels), jnp.float32),
     )
     params["index_pred"] = {
         "params": ip["params"],
         "batch_stats": ip.get("batch_stats", {}),
     }
     if with_pose:
-        pg = pipe.parsing_gen.init(
-            jax.random.key(4),
-            jnp.zeros((1, res, res // 2, 1)),
-            jnp.zeros((1, len(cfgs.shape_attr.cls_num_list)), jnp.int32),
+        pg = synth(
+            pipe.parsing_gen.init,
+            jax.ShapeDtypeStruct((1, res, res // 2, 1), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (1, len(cfgs.shape_attr.cls_num_list)), jnp.int32
+            ),
         )
         params["parsing_gen"] = {
             "params": pg["params"],
             "batch_stats": pg.get("batch_stats", {}),
         }
-    return params
+    return jax.device_put(params, jax.devices()[0])
 
 
 def main(argv=None):

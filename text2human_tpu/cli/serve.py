@@ -379,6 +379,11 @@ def make_handler(session, opt, lock, batcher, stats=None):
     return Handler
 
 
+def serving_batch_tiers(max_batch: int) -> tuple:
+    """The distinct padded batch sizes the batcher can produce."""
+    return tuple(sorted({choose_pad_size(1, max_batch), max_batch}))
+
+
 def build_server(
     opt,
     synthetic: bool,
@@ -386,6 +391,7 @@ def build_server(
     max_batch: int = 1,
     window_ms: float = 30.0,
     bf16_sampler: bool = False,
+    aot_path: str = "",
 ):
     """/generate is always served through the dynamic batcher (so it never
     touches the shared interactive session); ``max_batch > 1`` lets
@@ -405,6 +411,15 @@ def build_server(
         from text2human_tpu.pipelines.sample import cast_sampler_params
 
         params = cast_sampler_params(params)
+    if aot_path:
+        # boot from pre-built executables when the artifact exists (first
+        # deployment exports it via --prime-cache; uncovered shapes fall
+        # back to jit)
+        from text2human_tpu.pipelines.aot import maybe_load_serving
+
+        n = maybe_load_serving(pipe, aot_path)
+        if n:
+            print(f"AOT: loaded {n} pre-built programs from {aot_path}")
     session = InteractiveSession(pipe, params, seed=opt.get("manual_seed") or 0)
     lock = threading.Lock()
     batcher = make_batched_generate(session, opt, lock, max_batch, window_ms)
@@ -419,6 +434,7 @@ def build_server(
     server = Server(("127.0.0.1", port), handler)
     server.batcher = batcher  # observability (tests, ops)
     server.opt = opt  # warmup() needs the configured geometry
+    server.session = session  # AOT export needs pipe + params
     return server
 
 
@@ -483,6 +499,30 @@ def main(argv=None):
         "before accepting traffic (first real request then serves at "
         "steady-state latency)",
     )
+    parser.add_argument(
+        "--cache-dir",
+        default="",
+        help="persistent XLA compilation-cache directory (default: "
+        "$T2H_COMPILE_CACHE or ~/.cache/text2human_tpu/xla). Ship this "
+        "directory with a deployment and a fresh process boots in seconds "
+        "instead of recompiling for minutes (BENCHMARKS.md 'Serving cold "
+        "start')",
+    )
+    parser.add_argument(
+        "--prime-cache",
+        action="store_true",
+        help="build the server, compile both /generate pad tiers into the "
+        "cache (implies --warmup), and EXIT — produces the warm-boot "
+        "artifact for --cache-dir without serving traffic",
+    )
+    parser.add_argument(
+        "--aot",
+        default="",
+        help="AOT executable artifact (pipelines/aot.py): with --prime-cache "
+        "the compiled serving programs are EXPORTED here after warmup; on a "
+        "normal boot an existing artifact is LOADED, skipping trace/lower/"
+        "compile entirely (backend-specific, like any compiled binary)",
+    )
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -493,7 +533,7 @@ def main(argv=None):
     # instead of minutes (VERDICT round-1 item #9)
     from text2human_tpu.utils.misc import enable_compilation_cache
 
-    enable_compilation_cache()
+    enable_compilation_cache(args.cache_dir)
 
     from text2human_tpu.config import parse
 
@@ -502,10 +542,26 @@ def main(argv=None):
         opt, args.synthetic, args.port,
         max_batch=args.max_batch, window_ms=args.batch_window_ms,
         bf16_sampler=args.bf16_sampler,
+        aot_path="" if args.prime_cache else args.aot,
     )
-    if args.warmup:
+    if args.warmup or args.prime_cache:
         print("warmup: compiling the /generate pipeline…")
         print(f"warmup done in {warmup(server):.1f} s")
+    if args.prime_cache:
+        if args.aot:
+            from text2human_tpu.pipelines.aot import export_serving
+
+            t0 = time.time()
+            n = export_serving(
+                server.session.pipe, server.session.params, args.aot,
+                batch_sizes=serving_batch_tiers(args.max_batch),
+            )
+            print(f"AOT: exported {n} programs -> {args.aot} "
+                  f"({time.time() - t0:.1f} s)")
+        # both pad tiers are now in the persistent cache; the artifact is the
+        # cache directory itself
+        print("cache primed; exiting (--prime-cache)")
+        return
     print(f"serving on http://127.0.0.1:{args.port}  (UI at /, POST /generate)")
     server.serve_forever()
 

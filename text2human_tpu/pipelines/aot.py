@@ -1,0 +1,197 @@
+"""Ahead-of-time compiled serving: export/load the pipeline's XLA executables.
+
+The persistent compilation cache (utils/misc.enable_compilation_cache) makes
+warm boots *mostly* skip XLA compilation, but a fresh process still pays
+trace + lower + cache lookup per program, with high variance over a remote
+TPU tunnel (BENCHMARKS.md "Serving cold start").  This module removes even
+that: `export_serving` compiles every jitted stage of a `SamplePipeline` for
+the serving batch tiers and serializes the executables
+(jax.experimental.serialize_executable) into one artifact file;
+`load_serving` swaps them into the pipeline so the first request runs a
+pre-built program — no tracing, no lowering, no cache machinery.
+
+The artifact is backend-specific (same jaxlib + same TPU generation), like
+any compiled binary.  Shapes not covered by the export transparently fall
+back to the pipeline's normal jit path.
+
+    # build once (e.g. in CI or at deploy-image build time)
+    python -m text2human_tpu.cli.serve -opt ... --prime-cache --aot aot.pkl
+    # boot from it
+    python -m text2human_tpu.cli.serve -opt ... --warmup --aot aot.pkl
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FORMAT_VERSION = 1
+
+
+def _sds(tree: Any) -> Any:
+    """ShapeDtypeStructs pinned to device 0: serving is single-chip, and an
+    unpinned lower() on a multi-device backend (the 8-virtual-device test
+    mesh) produces an executable demanding 8-sharded inputs."""
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=dev), tree
+    )
+
+
+def _stage_specs(pipe, params, b: int, steps: int, with_pose: bool):
+    """(stage, dispatch-key, example-args) triples for one batch size."""
+    cfgs = pipe.cfgs
+    res = cfgs.top.resolution
+    h, w = res, res // 2
+    t = cfgs.transformer.block_size
+    p = _sds(params)
+    f32, i32 = jnp.float32, jnp.int32
+    dev = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def s(shape, dtype):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=dev)
+
+    specs = []
+    if with_pose and pipe.parsing_gen is not None:
+        n_attr = len(cfgs.shape_attr.cls_num_list)
+        specs.append(
+            ("_parsing", (b,), (p, s((b, h, w, 1), f32), s((b, n_attr), i32)))
+        )
+        specs.append(
+            ("_texture_mask",
+             (b,),
+             (s((b, h, w), i32), s((b,), i32), s((b,), i32), s((b,), i32)))
+        )
+    specs.append(("_tokenize_segm", (b,), (p, s((b, h, w), i32))))
+    specs.append(("_tex_tokens", (b,), (s((b, h, w), f32),)))
+    specs.append(
+        ("_sample",
+         (b, steps),
+         (p, jax.random.key(0), s((b, t), i32), s((b, t), i32)))
+    )
+    specs.append(("_decode", (b,), (p, s((b, t), i32), s((b, h, w), f32))))
+    return specs
+
+
+def export_serving(
+    pipe,
+    params,
+    path: str,
+    batch_sizes: Sequence[int] = (4,),
+    sample_steps: int = 0,
+    with_pose: bool = True,
+) -> int:
+    """Compile + serialize every serving stage for ``batch_sizes``.
+
+    Returns the number of programs exported.  Compilation reuses the
+    in-process/persistent caches, so exporting right after a warmup is cheap.
+    """
+    from jax.experimental.serialize_executable import serialize
+
+    steps = int(sample_steps) or int(pipe.cfgs.sample_steps)
+    blobs: Dict[str, Dict[Tuple, Any]] = {}
+    for b in batch_sizes:
+        for stage, dkey, args in _stage_specs(pipe, params, b, steps, with_pose):
+            fn = getattr(pipe, stage)
+            if stage == "_sample":
+                compiled = fn.lower(*args, sample_steps=steps).compile()
+            else:
+                compiled = fn.lower(*args).compile()
+            blob, in_tree, out_tree = serialize(compiled)
+            avals = tuple(
+                (tuple(x.shape), str(x.dtype)) for x in jax.tree.leaves(args)
+            )
+            blobs.setdefault(stage, {})[tuple(dkey)] = (
+                blob, in_tree, out_tree, avals,
+            )
+    payload = {
+        "version": FORMAT_VERSION,
+        "jaxlib": jax.__version__,
+        "platform": jax.devices()[0].platform,
+        "device_kind": jax.devices()[0].device_kind,
+        "sample_steps": steps,
+        "blobs": blobs,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return sum(len(v) for v in blobs.values())
+
+
+def load_serving(pipe, path: str) -> int:
+    """Deserialize an export and install shape-dispatch wrappers on ``pipe``.
+
+    Stages/batch-sizes covered by the artifact run the pre-built executable;
+    anything else falls through to the original jit.  Returns the number of
+    programs installed.  Raises ValueError on backend mismatch (an executable
+    is a compiled binary for one TPU generation).
+    """
+    from jax.experimental.serialize_executable import deserialize_and_load
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if payload.get("version") != FORMAT_VERSION:
+        raise ValueError(f"unsupported AOT artifact version {payload.get('version')}")
+    dev = jax.devices()[0]
+    if payload["platform"] != dev.platform or (
+        payload["device_kind"] != dev.device_kind
+    ):
+        raise ValueError(
+            f"AOT artifact built for {payload['platform']}/{payload['device_kind']}"
+            f", running on {dev.platform}/{dev.device_kind}"
+        )
+    count = 0
+
+    def avals_of(args) -> tuple:
+        return tuple(
+            (tuple(x.shape), str(x.dtype))
+            for x in jax.tree.leaves(args)
+            if hasattr(x, "shape")
+        )
+
+    for stage, by_key in payload["blobs"].items():
+        loaded = {
+            # pin to device 0: the default loads for ALL addressable devices
+            # (8-sharded inputs on the virtual test mesh); serving is
+            # single-chip and the export pinned device 0 too
+            k: (
+                deserialize_and_load(
+                    v[0], v[1], v[2], execution_devices=[jax.devices()[0]]
+                ),
+                v[3],
+            )
+            for k, v in by_key.items()
+        }
+        count += len(loaded)
+        orig = getattr(pipe, stage)
+        if stage == "_sample":
+            def wrapper(p, key, st, tt, sample_steps, _l=loaded, _o=orig):
+                hit = _l.get((st.shape[0], sample_steps))
+                if hit is not None and avals_of((p, key, st, tt)) == hit[1]:
+                    return hit[0](p, key, st, tt)
+                return _o(p, key, st, tt, sample_steps=sample_steps)
+        else:
+            # dispatch on the leading (batch) dim of the last array arg (the
+            # batch input; params lead), then verify every input aval — a
+            # dtype drift must fall back to jit, not crash the executable
+            def wrapper(*args, _l=loaded, _o=orig):
+                arrays = [a for a in jax.tree.leaves(args) if hasattr(a, "shape")]
+                b = arrays[-1].shape[0] if arrays else None
+                hit = _l.get((b,))
+                if hit is not None and avals_of(args) == hit[1]:
+                    return hit[0](*args)
+                return _o(*args)
+        setattr(pipe, stage, wrapper)
+    return count
+
+
+def maybe_load_serving(pipe, path: Optional[str]) -> int:
+    """load_serving if the artifact exists; 0 otherwise (boot must not fail
+    because the first deployment hasn't exported yet)."""
+    if not path or not os.path.exists(path):
+        return 0
+    return load_serving(pipe, path)
