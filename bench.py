@@ -57,35 +57,17 @@ def main():
     h, w = 512, 256
     rng = np.random.default_rng(0)
 
-    # Initialize params on the host CPU (remote-compiling the many small init
-    # programs over the TPU tunnel takes ~12 min; CPU init + one transfer is
-    # ~20x faster) then push to the accelerator in one device_put.
+    # Random full-size weights via eval_shape + numpy fills shipped in one
+    # device_put (cli/sample.py load_params): flax .init would EXECUTE the
+    # full-size forward on one host core (~76 s measured; this path is ~40 s,
+    # dominated by the 1.2 GB tunnel transfer).
     t0 = time.time()
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        img = jnp.zeros((1, h, w, 3))
-        mask = jnp.zeros((1, h, w))
-        segm_oh = jnp.zeros((1, h, w, 24))
-        tok = jnp.zeros((1, cfgs.transformer.block_size), jnp.int32)
-        params = {
-            "hierarchy": pipe.hierarchy.init(jax.random.key(0), img, mask)["params"],
-            "segm": pipe.segm_vq.init(jax.random.key(1), segm_oh)["params"],
-            "sampler": pipe.denoiser.init(jax.random.key(2), tok, tok, tok)["params"],
-        }
-        ip = pipe.index_pred.init(jax.random.key(3), jnp.zeros((1, 32, 16, 256)))
-        params["index_pred"] = {
-            "params": ip["params"],
-            "batch_stats": ip.get("batch_stats", {}),
-        }
-        pg = pipe.parsing_gen.init(
-            jax.random.key(4), jnp.zeros((1, h, w, 1)), jnp.zeros((1, 15), jnp.int32)
-        )
-        params["parsing_gen"] = {
-            "params": pg["params"],
-            "batch_stats": pg.get("batch_stats", {}),
-        }
-    device = jax.devices()[0]
-    params = jax.device_put(params, device)
+    from text2human_tpu.cli.sample import load_params
+
+    params = load_params(
+        pipe, {"model_type": "SampleFromPoseModel"}, synthetic=True
+    )
+    jax.block_until_ready(params)
     init_time = time.time() - t0
 
     def measure(b):
@@ -133,6 +115,44 @@ def main():
     lat16, compile16 = measure(b_serve)
 
     imgs_per_sec = b_serve / lat16
+
+    # opt-in fast decode (decode_mode='maskgit', 32 steps — a documented
+    # divergence from the reference's 256-step schedule; the headline metric
+    # above stays reference-faithful): only the _sample stage differs, so
+    # the shared stages reuse the already-compiled programs.
+    pipe_fast = SamplePipeline(
+        cfgs, dtype=jnp.bfloat16, decode_mode="maskgit"
+    )
+    rngf = np.random.default_rng(1)
+    pose = jnp.asarray(rngf.uniform(-1, 1, (b_serve, h, w, 1)).astype(np.float32))
+    shape_attr = jnp.asarray(
+        np.stack(
+            [rngf.integers(0, np.array(C.PARSING_GEN_ATTR.cls_num_list))
+             for _ in range(b_serve)]
+        ),
+        jnp.int32,
+    )
+    upper, lower, outer = (
+        jnp.asarray(rngf.integers(0, 17, (b_serve,)), jnp.int32)
+        for _ in range(3)
+    )
+
+    def run_fast(key):
+        imgs, _ = pipe_fast.sample_from_pose(
+            params, key, pose, shape_attr, upper, lower, outer, 32
+        )
+        return imgs
+
+    out = run_fast(jax.random.key(0))
+    np.asarray(out[:, :1, :1, :1])
+    fast_times = []
+    for i in range(3):
+        t0 = time.time()
+        out = run_fast(jax.random.key(i + 1))
+        np.asarray(out[:, :1, :1, :1])
+        fast_times.append(time.time() - t0)
+    lat_fast = min(fast_times)
+
     result = {
         "metric": "sample_from_pose_512x256_throughput",
         "value": round(imgs_per_sec, 4),
@@ -144,6 +164,8 @@ def main():
             "batch_latency_s": round(lat16, 4),
             "batch4_latency_s": round(lat4, 4),
             "batch4_imgs_per_sec": round(b / lat4, 4),
+            "maskgit32_imgs_per_sec": round(b_serve / lat_fast, 4),
+            "maskgit32_batch_latency_s": round(lat_fast, 4),
             "compile_s": round(compile4 + compile16, 2),
             "init_s": round(init_time, 2),
             "backend": jax.default_backend(),
