@@ -301,3 +301,18 @@ def test_overfit_e2e_pipeline(tmp_path):
     )
     acc = float((segm_pred == np.asarray(B["segm"])).mean())
     assert acc > 0.7, f"pose->parsing acc={acc:.4f}"
+
+    # fast-decode quality proxy ON TRAINED WEIGHTS (the docstring promise in
+    # diffusion/absorbing.py:sample_maskgit): the confidence-ordered decode
+    # at 8 steps must also reproduce the memorized target, within 1.5x of
+    # the reference schedule's error and decisively below random init
+    pipe_fast = build_pipeline({**opt, "decode_mode": "maskgit"})
+    img_f = pipe_fast.sample_from_parsing(
+        params, jax.random.key(0), B["segm"], B["texture_mask"], 8
+    )
+    fast_l1 = float(np.abs(np.asarray(img_f) - target).mean())
+    assert fast_l1 < 0.12, f"maskgit pipeline L1={fast_l1:.4f}"
+    assert fast_l1 < max(1.5 * trained_l1, trained_l1 + 0.02), (
+        f"maskgit quality delta too large: {fast_l1:.4f} vs "
+        f"{trained_l1:.4f} (reference schedule)"
+    )
