@@ -116,12 +116,17 @@ def main():
 
     imgs_per_sec = b_serve / lat16
 
-    # opt-in fast decode (decode_mode='maskgit', 32 steps — a documented
-    # divergence from the reference's 256-step schedule; the headline metric
-    # above stays reference-faithful): only the _sample stage differs, so
-    # the shared stages reuse the already-compiled programs.
+    # opt-in fast decode (decode_mode='maskgit', 32 steps + bf16 conv stages —
+    # documented divergences from the reference's 256-step f32 schedule; the
+    # headline metric above stays reference-faithful).  conv_dtype matters
+    # here: with the sample stage cut 8x the parsing/decode conv stages
+    # dominate, and bf16 keeps their bandwidth-bound UNet stacks half-width
+    # (BENCHMARKS.md "Fast decode").
+    from text2human_tpu.pipelines.sample import with_conv_dtype
+
     pipe_fast = SamplePipeline(
-        cfgs, dtype=jnp.bfloat16, decode_mode="maskgit"
+        with_conv_dtype(cfgs, "bfloat16"), dtype=jnp.bfloat16,
+        decode_mode="maskgit",
     )
     rngf = np.random.default_rng(1)
     pose = jnp.asarray(rngf.uniform(-1, 1, (b_serve, h, w, 1)).astype(np.float32))

@@ -187,3 +187,58 @@ def test_cast_sampler_params_bf16(rng):
     arr = np.asarray(imgs)
     assert np.isfinite(arr).all()
     assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_conv_dtype_bf16_matches_f32(rng):
+    """The fast preset's bf16 conv stages (with_conv_dtype): identical param
+    tree (param_dtype stays f32, so one checkpoint serves both), deterministic
+    stages numerically close to the f32 pipeline, f32 logits emitted."""
+    from text2human_tpu.pipelines.sample import with_conv_dtype
+
+    pipe = SamplePipeline(CFGS)
+    cfgs16 = with_conv_dtype(CFGS, "bfloat16")
+    assert cfgs16.top.compute_dtype == "bfloat16"
+    assert cfgs16.parsing_unet.compute_dtype == "bfloat16"
+    assert cfgs16.transformer is CFGS.transformer  # sampler untouched
+    pipe16 = SamplePipeline(cfgs16)
+
+    params = _init_params(pipe, rng)
+    # same structure AND dtypes: the bf16 pipeline loads f32 checkpoints as-is
+    params16 = _init_params(pipe16, rng)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params16
+    )
+    jax.tree.map(lambda a, b: None if a.dtype == b.dtype else 1 / 0, params, params16)
+
+    b = 2
+    pose = jnp.asarray(rng.standard_normal((b, RES, RES // 2, 1)).astype(np.float32))
+    shape_attr = jnp.asarray(rng.integers(0, 2, (b, 2)))
+
+    logits_f32 = pipe.generate_parsing(params, pose, shape_attr)
+    logits_b16 = pipe16.generate_parsing(params, pose, shape_attr)
+    # argmax parsing maps must agree except on near-ties
+    agree = float(np.mean(np.asarray(logits_f32) == np.asarray(logits_b16)))
+    assert agree > 0.95, agree
+
+    segm = jnp.asarray(rng.integers(0, 24, (b, RES, RES // 2)))
+    mask = jnp.asarray(rng.integers(0, 3, (b, RES, RES // 2)).astype(np.float32))
+    t = CFGS.transformer.block_size
+    h, w = CFGS.transformer.latent_shape
+    top_local = jnp.asarray(
+        rng.integers(0, CFGS.transformer.head_class_num, (b, t)), jnp.int32
+    )
+    img_f32 = np.asarray(pipe.decode(params, top_local, mask))
+    img_b16 = np.asarray(pipe16.decode(params, top_local, mask))
+    assert img_b16.dtype == np.float32
+    # decode runs many bf16 convs; [0,1] images stay visually identical
+    assert np.mean(np.abs(img_f32 - img_b16)) < 0.02
+    assert np.isfinite(img_b16).all()
+
+
+def test_with_conv_dtype_rejects_unknown():
+    import pytest
+
+    from text2human_tpu.pipelines.sample import with_conv_dtype
+
+    with pytest.raises(ValueError, match="conv_dtype"):
+        with_conv_dtype(CFGS, "float16")

@@ -365,6 +365,11 @@ def build_pipeline(opt: Dict[str, Any]):
         sample_steps=_get(opt, "sample_steps", 256),
         num_segm_classes=_get(opt, "segm_num_segm_classes", 24),
     )
+    conv_dtype = _get(opt, "conv_dtype", "float32")
+    if conv_dtype != "float32":
+        from text2human_tpu.pipelines.sample import with_conv_dtype
+
+        cfgs = with_conv_dtype(cfgs, conv_dtype)
     return SamplePipeline(
         cfgs,
         # 'absorbing' (reference schedule, default) | 'maskgit' (fast decode,

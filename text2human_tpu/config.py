@@ -189,6 +189,9 @@ class UNetConfig:
     attr_embedding: int = 0  # ShapeUNet concatenates this at every encoder stage
     enc_num_convs: Tuple[int, ...] = (2, 2, 2, 2, 2)
     dec_num_convs: Tuple[int, ...] = (2, 2, 2, 2)
+    # activation dtype for the conv stacks ("float32" | "bfloat16"); params
+    # and BatchNorm normalization stay float32 (same convention as VQGANConfig)
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -209,6 +212,9 @@ class FCNHeadConfig:
     # None | 'resize_concat' | 'multiple_select' (fcn_arch.py:77-99)
     input_transform: Optional[str] = None
     align_corners: bool = False  # resize_concat's F.interpolate flag
+    # activation dtype for the head convs ("float32" | "bfloat16"); the final
+    # conv_seg logits are emitted in float32 either way
+    compute_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -55,6 +55,7 @@ class FCNHead(nn.Module):
     @nn.compact
     def __call__(self, inputs: Union[jax.Array, Sequence[jax.Array]]) -> jax.Array:
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
         x = transform_inputs(cfg, inputs)
         if isinstance(x, list):
             raise ValueError(
@@ -64,13 +65,15 @@ class FCNHead(nn.Module):
         out = x
         for i in range(cfg.num_convs):
             out = ConvModule(
-                cfg.channels, cfg.kernel_size, train=self.train, name=f"conv_{i}"
+                cfg.channels, cfg.kernel_size, train=self.train, dtype=dtype,
+                name=f"conv_{i}",
             )(out)
         if cfg.num_convs == 0:
             out = x
         if cfg.concat_input:
             out = ConvModule(
-                cfg.channels, cfg.kernel_size, train=self.train, name="conv_cat"
+                cfg.channels, cfg.kernel_size, train=self.train, dtype=dtype,
+                name="conv_cat",
             )(jnp.concatenate([x, out], axis=-1))
         if cfg.dropout_ratio > 0:
             # torch Dropout2d zeroes whole channels -> broadcast over H, W
@@ -83,9 +86,13 @@ class FCNHead(nn.Module):
             cfg.num_classes,
             (1, 1),
             kernel_init=nn.initializers.normal(stddev=0.01),
+            dtype=dtype,
+            param_dtype=jnp.float32,
             name="conv_seg",
         )(out)
-        return out
+        # logits leave in f32 regardless of the conv compute dtype (same
+        # convention as the VQGAN Encoder's conv_out)
+        return out.astype(jnp.float32)
 
 
 class MultiHeadFCNHead(nn.Module):

@@ -26,11 +26,21 @@ from text2human_tpu.ops.nn import bilinear_resize
 
 
 class ConvModule(nn.Module):
-    """Conv3x3(or kxk) + BatchNorm + ReLU (mmcv ConvModule with default cfg)."""
+    """Conv3x3(or kxk) + BatchNorm + ReLU (mmcv ConvModule with default cfg).
+
+    ``dtype`` is the compute dtype for the whole conv+BN+ReLU unit.  Params
+    (and BatchNorm running statistics) stay float32.  Unlike the VQGAN
+    stacks' GroupNorm — which computes statistics from the data and therefore
+    stays f32 — inference BatchNorm is a pure per-channel affine from the
+    running stats, so bf16 is safe and keeps the inter-op HBM traffic halved
+    (these UNet stages are bandwidth-bound at 512x256, not FLOP-bound).
+    Training configs keep compute_dtype float32, where BN computes its batch
+    statistics in f32 as before."""
 
     out_channels: int
     kernel_size: int = 3
     train: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -40,10 +50,16 @@ class ConvModule(nn.Module):
             (k, k),
             padding="SAME" if k > 1 else "VALID",
             use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
             name="conv",
         )(x)
         x = nn.BatchNorm(
-            use_running_average=not self.train, momentum=0.9, name="bn"
+            use_running_average=not self.train,
+            momentum=0.9,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="bn",
         )(x)
         return nn.relu(x)
 
@@ -52,11 +68,15 @@ class BasicConvBlock(nn.Module):
     out_channels: int
     num_convs: int = 2
     train: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i in range(self.num_convs):
-            x = ConvModule(self.out_channels, train=self.train, name=f"conv_{i}")(x)
+            x = ConvModule(
+                self.out_channels, train=self.train, dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
         return x
 
 
@@ -65,13 +85,15 @@ class InterpConv(nn.Module):
 
     out_channels: int
     train: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         n, h, w, c = x.shape
         x = bilinear_resize(x, (h * 2, w * 2), align_corners=False)
         return ConvModule(
-            self.out_channels, kernel_size=1, train=self.train, name="conv"
+            self.out_channels, kernel_size=1, train=self.train,
+            dtype=self.dtype, name="conv",
         )(x)
 
 
@@ -118,6 +140,7 @@ class UpConvBlock(nn.Module):
     num_convs: int = 2
     train: bool = False
     upsample: str = "interp"  # 'interp' (all configs) | 'deconv'
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, skip: jax.Array, x: jax.Array) -> jax.Array:
@@ -126,7 +149,10 @@ class UpConvBlock(nn.Module):
                 self.out_channels, train=self.train, name="upsample"
             )(x)
         elif self.upsample == "interp":
-            x = InterpConv(self.out_channels, train=self.train, name="upsample")(x)
+            x = InterpConv(
+                self.out_channels, train=self.train, dtype=self.dtype,
+                name="upsample",
+            )(x)
         else:
             # the mmcv upsample registry raises on unknown layer types; a
             # silent fallback would train the wrong architecture
@@ -135,7 +161,8 @@ class UpConvBlock(nn.Module):
             )
         x = jnp.concatenate([skip, x], axis=-1)
         return BasicConvBlock(
-            self.out_channels, self.num_convs, train=self.train, name="conv_block"
+            self.out_channels, self.num_convs, train=self.train,
+            dtype=self.dtype, name="conv_block",
         )(x)
 
 
@@ -152,6 +179,7 @@ class UNet(nn.Module):
         given, it is broadcast-concatenated at every encoder stage input
         (ShapeUNet behaviour, unet_arch.py:657-668)."""
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
         enc_outs = []
         for i in range(cfg.num_stages):
             if attr_embedding is not None:
@@ -167,6 +195,7 @@ class UNet(nn.Module):
                 cfg.base_channels * 2 ** i,
                 cfg.enc_num_convs[i],
                 train=self.train,
+                dtype=dtype,
                 name=f"enc_{i}",
             )(x)
             enc_outs.append(x)
@@ -177,6 +206,7 @@ class UNet(nn.Module):
                 cfg.base_channels * 2 ** i,
                 cfg.dec_num_convs[i],
                 train=self.train,
+                dtype=dtype,
                 name=f"dec_{i}",
             )(enc_outs[i], x)
             dec_outs.append(x)

@@ -102,6 +102,39 @@ class PipelineConfigs:
     num_segm_classes: int = 24
 
 
+def with_conv_dtype(cfgs: PipelineConfigs, dtype: str) -> PipelineConfigs:
+    """Copy of ``cfgs`` with every conv stage's compute dtype replaced.
+
+    Flips the activation dtype of the VQGAN encoder/decoder stacks (top, bot,
+    segm) and the UNet/FCN stages (parsing generation, index prediction);
+    params, normalization statistics and emitted logits stay float32.  Used by
+    the fast serving preset (YAML key ``conv_dtype: bfloat16``) where the conv
+    stages dominate once ``decode_mode: maskgit`` shrinks the sample stage —
+    the default pipeline keeps float32 convs for reference parity
+    (BENCHMARKS.md).
+    """
+    import dataclasses
+
+    if dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"unsupported conv_dtype {dtype!r}")
+
+    def flip(cfg):
+        return None if cfg is None else dataclasses.replace(
+            cfg, compute_dtype=dtype
+        )
+
+    return dataclasses.replace(
+        cfgs,
+        top=flip(cfgs.top),
+        bot=flip(cfgs.bot),
+        segm=flip(cfgs.segm),
+        index_unet=flip(cfgs.index_unet),
+        index_fcn=flip(cfgs.index_fcn),
+        parsing_unet=flip(cfgs.parsing_unet),
+        parsing_fcn=flip(cfgs.parsing_fcn),
+    )
+
+
 class SamplePipeline:
     """Composite inference model over the six checkpoints.
 
