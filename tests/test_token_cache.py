@@ -1,0 +1,198 @@
+"""Pre-tokenized training cache: builder, dataset, trainer parity, CLI.
+
+The cache removes the per-step frozen-tokenizer forwards the reference pays
+on every iteration (transformer_model.py:153-170,
+hierarchy_inference_model.py:178-197) by tokenizing the dataset once into
+integer-index memmaps (data/token_cache.py, cli/tokenize.py).
+"""
+
+import os
+import os.path as osp
+import shutil
+
+import jax
+import numpy as np
+import pytest
+
+from text2human_tpu.data.token_cache import (
+    TokenDataset,
+    build_token_cache,
+    flip_sample,
+)
+
+
+@pytest.fixture(autouse=True)
+def clean_experiments():
+    shutil.rmtree("experiments", ignore_errors=True)
+    yield
+    shutil.rmtree("experiments", ignore_errors=True)
+
+
+def _fake_dataset(n=5):
+    rng = np.random.default_rng(0)
+    return [
+        {
+            "image": rng.standard_normal((8, 6, 3)).astype(np.float32),
+            "img_name": f"img_{i:03d}.png",
+        }
+        for i in range(n)
+    ]
+
+
+def _fake_tokenizer(batch):
+    # deterministic "tokens": sign pattern of the image's first channel
+    img = batch["image"]
+    return {"tok": (img[..., 0] > 0).astype(np.int64)}
+
+
+class TestBuilder:
+    def test_roundtrip_with_flip_variants(self, tmp_path):
+        ds = _fake_dataset()
+        cache = str(tmp_path / "cache")
+        meta = build_token_cache(
+            cache, ds, _fake_tokenizer, batch_size=2, variants=2
+        )
+        assert meta["num_samples"] == 5 and meta["variants"] == 2
+        # int64 tokenizer output in {0,1} stored as the smallest dtype
+        raw = np.load(osp.join(cache, "tok.npy"), mmap_mode="r")
+        assert raw.dtype == np.int8 and raw.shape == (2, 5, 8, 6)
+
+        tds = TokenDataset(cache)
+        assert len(tds) == 5
+        for i, s in enumerate(ds):
+            item = tds[i]
+            assert item["tok"].dtype == np.int32
+            np.testing.assert_array_equal(
+                item["tok"], _fake_tokenizer({"image": s["image"][None]})["tok"][0]
+            )
+            assert item["img_name"] == s["img_name"]
+        # variant 1 holds tokens of the FLIPPED image (not flipped tokens)
+        flipped = TokenDataset(cache, xflip=True)
+        flip_tok = _fake_tokenizer(
+            {"image": flip_sample(ds[0])["image"][None]}
+        )["tok"][0]
+        got = {tuple(np.asarray(flipped[0]["tok"]).ravel()) for _ in range(32)}
+        want = {
+            tuple(flip_tok.ravel()),
+            tuple(np.asarray(tds[0]["tok"]).ravel()),
+        }
+        assert got == want  # both variants appear under random xflip
+
+    def test_tail_batch_padding(self, tmp_path):
+        """5 samples at batch 4: the padded tail row must not leak."""
+        ds = _fake_dataset(5)
+        cache = str(tmp_path / "c")
+        build_token_cache(cache, ds, _fake_tokenizer, batch_size=4, variants=1)
+        tds = TokenDataset(cache)
+        np.testing.assert_array_equal(
+            tds[4]["tok"],
+            _fake_tokenizer({"image": ds[4]["image"][None]})["tok"][0],
+        )
+
+    def test_xflip_requires_two_variants(self, tmp_path):
+        cache = str(tmp_path / "c1")
+        build_token_cache(cache, _fake_dataset(2), _fake_tokenizer, variants=1)
+        with pytest.raises(ValueError, match="variants=1"):
+            TokenDataset(cache, xflip=True)
+
+
+class TestIndexPredTokenParity:
+    """prepare_from_tokens(tokenize(batch)) must reproduce prepare(batch)."""
+
+    def test_feature_top_reconstruction(self):
+        from text2human_tpu.cli.builders import build_trainer
+        from text2human_tpu.config import parse
+
+        opt = parse("configs/debug/index_pred_debug.yml", is_train=True)
+        t = build_trainer(opt)
+        key = jax.random.key(0)
+        img = jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1)
+        mask = jax.random.randint(jax.random.key(1), (2, 32, 32), 0, 18).astype(
+            np.float32
+        )
+        vq = t.hierarchy.init(jax.random.key(2), img, mask)["params"]
+        batch = {"image": img, "texture_mask": mask}
+
+        direct = t.prepare(vq, batch)
+        tokens = t.tokenize(vq, batch)
+        rebuilt = t.prepare_from_tokens(vq, tokens)
+
+        np.testing.assert_array_equal(
+            np.asarray(direct["gt_indices"]), np.asarray(rebuilt["gt_indices"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(direct["cb_ids"]), np.asarray(rebuilt["cb_ids"])
+        )
+        # forward z_q values ARE codebook rows, so gather + the post-quant
+        # 1x1 conv reproduces the float feature
+        np.testing.assert_allclose(
+            np.asarray(direct["feature_top"]),
+            np.asarray(rebuilt["feature_top"]),
+            atol=1e-5,
+        )
+
+
+class TestTokenizeCLI:
+    def _write_cfg(self, src, tmp_path, cache_dir, name):
+        txt = open(src).read()
+        txt = txt.replace(f"name: {name}", f"name: {name}_cache")
+        txt += f"\ntoken_cache: {cache_dir}\n"
+        dst = tmp_path / osp.basename(src)
+        dst.write_text(txt)
+        return str(dst)
+
+    def test_sampler_cache_train_e2e(self, tmp_path):
+        """tokenize --synthetic -> cached (pixel-free) training reaches the
+        val epoch and writes the sample triptych."""
+        from text2human_tpu.cli import tokenize as tok_cli
+        from text2human_tpu.cli import train as train_cli
+
+        cache = str(tmp_path / "tok")
+        tok_cli.main([
+            "-opt", "configs/debug/sampler_debug.yml",
+            "--out", cache, "--synthetic", "--batch-size", "2",
+        ])
+        for split in ("train", "val"):
+            assert osp.exists(osp.join(cache, split, "meta.json"))
+        assert np.load(osp.join(cache, "train", "x0_cont.npy"),
+                       mmap_mode="r").shape[0] == 2  # flip variants
+
+        cfg = self._write_cfg(
+            "configs/debug/sampler_debug.yml", tmp_path, cache, "sampler_debug"
+        )
+        train_cli.main(["-opt", cfg])
+        assert os.path.exists("experiments/sampler_debug_cache/metrics.jsonl")
+        assert os.path.exists(
+            "experiments/sampler_debug_cache/visualization/epoch0_sample.png"
+        )
+
+    def test_index_pred_cache_train_e2e(self, tmp_path):
+        from text2human_tpu.cli import tokenize as tok_cli
+        from text2human_tpu.cli import train as train_cli
+
+        cache = str(tmp_path / "tok_ip")
+        tok_cli.main([
+            "-opt", "configs/debug/index_pred_debug.yml",
+            "--out", cache, "--synthetic", "--batch-size", "2",
+        ])
+        cfg = self._write_cfg(
+            "configs/debug/index_pred_debug.yml", tmp_path, cache,
+            "index_pred_debug",
+        )
+        train_cli.main(["-opt", cfg])
+        assert os.path.exists(
+            "experiments/index_pred_debug_cache/metrics.jsonl"
+        )
+        assert os.path.exists(
+            "experiments/index_pred_debug_cache/visualization/"
+            "epoch0_hierarchy.png"
+        )
+
+    def test_rejects_jobs_without_frozen_tokenizers(self, tmp_path):
+        from text2human_tpu.cli import tokenize as tok_cli
+
+        with pytest.raises(SystemExit, match="no frozen tokenizers"):
+            tok_cli.main([
+                "-opt", "configs/debug/parsing_gen_debug.yml",
+                "--out", str(tmp_path / "x"), "--synthetic",
+            ])

@@ -1,0 +1,127 @@
+"""Build a pre-tokenized training cache for the frozen-tokenizer jobs.
+
+  python -m text2human_tpu.cli.tokenize -opt configs/sampler.yml --out token_cache/
+  python -m text2human_tpu.cli.tokenize -opt configs/index_pred_net.yml --out token_cache_ip/
+
+Runs the job's frozen tokenizers ONCE over the dataset (both horizontal-flip
+variants for the train split) and writes integer-index memmaps that
+``cli/train.py`` consumes via ``token_cache: <dir>`` in the YAML — removing
+the per-step frozen VQGAN forwards the reference pays on every iteration
+(transformer_model.py:153-170, hierarchy_inference_model.py:178-197).
+
+The cache stores ~2 KB/sample of indices instead of ~1.2 MB of decoded
+pixels, so cached training also skips the whole image-decode pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", required=True)
+    parser.add_argument("--out", required=True, help="cache root directory; "
+                        "one subdirectory per split is created")
+    parser.add_argument("--splits", default="train,val",
+                        help="comma-separated dataset splits to tokenize")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--variants", type=int, default=0,
+                        help="flip variants (default: 2 for train, 1 otherwise)")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="tokenize the synthetic dataset (smoke/debug)")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from text2human_tpu.cli.builders import build_trainer
+    from text2human_tpu.cli.train import TrainLoop, make_dataset, to_device_batch
+    from text2human_tpu.config import parse
+    from text2human_tpu.data.token_cache import build_token_cache
+    from text2human_tpu.utils.logger import get_root_logger
+    from text2human_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+    logger = get_root_logger()
+    opt = parse(args.opt, is_train=True)
+    mt = opt["model_type"]
+    if mt not in (
+        "TransformerTextureAwareModel",
+        "VQGANTextureAwareSpatialHierarchyInferenceModel",
+    ):
+        raise SystemExit(
+            f"model_type {mt!r} has no frozen tokenizers to cache; "
+            "token caches apply to the sampler and index-prediction jobs"
+        )
+    # the cache must hold UNFLIPPED tokens in variant 0 — flips are applied
+    # deterministically by the builder, never by the source dataset
+    # (mutated in place to keep the NoneDict missing-key semantics)
+    opt["token_cache"] = None
+    opt["xflip"] = False
+
+    trainer = build_trainer(opt)
+    loop = TrainLoop(opt, trainer, args.synthetic)
+
+    for split in [s for s in args.splits.split(",") if s]:
+        ds = make_dataset(opt, split, args.synthetic)
+        if loop.state is None:  # frozen params load once, from the first split
+            sample = ds[0]
+            loop.init({
+                k: ([v] if isinstance(v, str) else np.asarray(v)[None])
+                for k, v in sample.items()
+            })
+
+        if mt == "TransformerTextureAwareModel":
+            def tokenize(batch):
+                out = trainer.tokenize(
+                    loop.frozen["img"], loop.frozen["segm"], to_device_batch(batch)
+                )
+                return {k: np.asarray(v) for k, v in out.items()}
+        else:
+            def tokenize(batch):
+                out = trainer.tokenize(loop.frozen["vq"], to_device_batch(batch))
+                return {k: np.asarray(v) for k, v in out.items()}
+
+        variants = args.variants or (2 if split == "train" else 1)
+        out_dir = osp.join(args.out, split)
+        t0 = time.time()
+        last = [0.0]
+
+        def progress(done, total):
+            if time.time() - last[0] > 10:
+                last[0] = time.time()
+                rate = done / max(time.time() - t0, 1e-9)
+                logger.info(
+                    f"[{split}] {done}/{total} tokenized "
+                    f"({rate:.1f}/s, eta {(total - done) / max(rate, 1e-9):.0f}s)"
+                )
+
+        meta = build_token_cache(
+            out_dir,
+            ds,
+            tokenize,
+            batch_size=args.batch_size,
+            variants=variants,
+            extra_meta={
+                "job": mt,
+                "opt_name": opt.get("name"),
+                "source_config": osp.abspath(args.opt),
+            },
+            progress=progress,
+        )
+        logger.info(
+            f"[{split}] cache written to {out_dir}: "
+            f"{meta['num_samples']} samples x {variants} variant(s), "
+            f"fields {sorted(meta['fields'])} in {time.time() - t0:.1f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,26 @@ def _install_sigterm_handler():
 
 
 def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
+    # pre-tokenized cache (cli/tokenize.py): the frozen-tokenizer jobs train
+    # straight from cached integer indices — no frozen conv forwards, no
+    # image decode (data/token_cache.py)
+    tc = opt.get("token_cache")
+    if (
+        tc
+        and not synthetic
+        and opt["model_type"]
+        in (
+            "TransformerTextureAwareModel",
+            "VQGANTextureAwareSpatialHierarchyInferenceModel",
+        )
+        and osp.exists(osp.join(tc, split, "meta.json"))
+    ):
+        from text2human_tpu.data.token_cache import TokenDataset
+
+        return TokenDataset(
+            osp.join(tc, split),
+            xflip=split == "train" and bool(opt.get("xflip")),
+        )
     if synthetic:
         # synthetic images must match the configured network resolution
         res = (
@@ -126,9 +146,31 @@ class TrainLoop:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    @staticmethod
+    def _is_token_batch(b) -> bool:
+        return "x0_cont" in b or "top_local" in b
+
+    def _dummy_pixel_batch(self):
+        """Shape-only pixel batch for init when training from a token cache
+        (frozen-param random-init fallback and state init need pixel shapes)."""
+        res = (
+            self.opt.get("img_resolution")
+            or self.opt.get("top_resolution")
+            or self.opt.get("resolution")
+            or 512
+        )
+        h, w = res, res // 2
+        return {
+            "image": jnp.zeros((1, h, w, 3), jnp.float32),
+            "segm": jnp.zeros((1, h, w), jnp.float32),
+            "texture_mask": jnp.zeros((1, h, w), jnp.float32),
+        }
+
     def init(self, first_batch):
         t, mt, key = self.trainer, self.mt, self._next_key()
         b = to_device_batch(first_batch)
+        if self._is_token_batch(b):
+            b = self._dummy_pixel_batch()
         if mt == "VQSegmentationModel":
             self.state = t.init_state(key, b["segm"])
         elif mt in ("VQImageModel", "VQImageSegmTextureModel",
@@ -229,10 +271,16 @@ class TrainLoop:
                     "HierarchyVQSpatialTextureAwareModel"):
             self.state, logs = t.train_step(self.state, b, self._next_key())
         elif mt == "TransformerTextureAwareModel":
-            tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+            if "x0_cont" in b:  # pre-tokenized cache batch
+                tokens = b
+            else:
+                tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
             self.state, logs = t.train_step(self.state, tokens, self._next_key())
         elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
-            data = t.prepare(self.frozen["vq"], b)
+            if "top_local" in b:
+                data = t.prepare_from_tokens(self.frozen["vq"], b)
+            else:
+                data = t.prepare(self.frozen["vq"], b)
             self.state, logs = t.train_step(self.state, data, self._next_key())
         elif mt == "ParsingGenModel":
             self.state, logs = t.train_step(self.state, b, self._next_key())
@@ -286,7 +334,10 @@ class TrainLoop:
             # [image | decode(gt indices) | decode(sampled indices)]
             from text2human_tpu.models.composites import TextureVQGAN
 
-            tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+            if "x0_cont" in b:
+                tokens = b
+            else:
+                tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
             h, w = t.tf_cfg.latent_shape
             gt = tokens["gt_local"][:1].reshape(1, h, w)
             pred_local, _ = t.sample(
@@ -295,7 +346,14 @@ class TrainLoop:
                 tokens["texture_tokens"][:1],
                 self._next_key(),
             )
-            mask1 = b["texture_mask"][:1]
+            # token-cache batches carry no pixels: the latent texture tokens
+            # stand in for the full-res mask (nearest-downsample of a map to
+            # its own resolution is the identity)
+            mask1 = (
+                b["texture_mask"][:1]
+                if "texture_mask" in b
+                else tokens["texture_tokens"][:1].reshape(1, h, w).astype(jnp.float32)
+            )
 
             def dec(idx):
                 return t.img_vq.apply(
@@ -303,8 +361,9 @@ class TrainLoop:
                     method=TextureVQGAN.decode_indices,
                 )
 
+            img_col = b["image"][0] if "image" in b else dec(gt)[0]
             tri = jnp.concatenate(
-                [b["image"][0], dec(gt)[0], dec(pred_local.reshape(1, h, w))[0]],
+                [img_col, dec(gt)[0], dec(pred_local.reshape(1, h, w))[0]],
                 axis=1,
             )
             put(osp.join(vis_dir, f"epoch{epoch}_sample.png"),
@@ -314,9 +373,13 @@ class TrainLoop:
             # [image | gt-bottom recon | top-only decode | predicted-bottom]
             from text2human_tpu.models.composites import HierarchyVQ
 
-            data = t.prepare(self.frozen["vq"], b)
+            if "top_local" in b:
+                data = t.prepare_from_tokens(self.frozen["vq"], b)
+                mask1 = data["cb_ids"][:1].astype(jnp.float32)
+            else:
+                data = t.prepare(self.frozen["vq"], b)
+                mask1 = b["texture_mask"][:1]
             ft = data["feature_top"][:1]
-            mask1 = b["texture_mask"][:1]
             pred, _ = t.predict_bot_indices(
                 self.state.params, self.state.batch_stats, ft, mask1
             )
@@ -330,11 +393,10 @@ class TrainLoop:
             base = t.hierarchy.apply(
                 vqp, ft, method=lambda m, q: m.decoder(q)
             )
-            quad = jnp.concatenate(
-                [b["image"][0], dec_bot(data["gt_indices"][:1])[0],
-                 base[0], dec_bot(pred)[0]],
-                axis=1,
-            )
+            cols = [dec_bot(data["gt_indices"][:1])[0], base[0], dec_bot(pred)[0]]
+            if "image" in b:  # token-cache batches carry no pixels
+                cols.insert(0, b["image"][0])
+            quad = jnp.concatenate(cols, axis=1)
             put(osp.join(vis_dir, f"epoch{epoch}_hierarchy.png"),
                 jnp.clip((quad + 1) / 2, 0, 1))
         elif mt == "ParsingGenModel":
@@ -360,10 +422,16 @@ class TrainLoop:
                         "HierarchyVQSpatialTextureAwareModel"):
                 logs = t.eval_loss(self.state.params["gen"], b)
             elif mt == "TransformerTextureAwareModel":
-                tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+                if "x0_cont" in b:
+                    tokens = b
+                else:
+                    tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
                 logs = t.eval_step(self.state.params, tokens, jax.random.key(0))
             elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
-                data = t.prepare(self.frozen["vq"], b)
+                if "top_local" in b:
+                    data = t.prepare_from_tokens(self.frozen["vq"], b)
+                else:
+                    data = t.prepare(self.frozen["vq"], b)
                 logs = t.eval_step(self.state.params, self.state.batch_stats, data)
                 logs = {"accuracy": logs["accuracy"]}
             elif mt == "ParsingGenModel":

@@ -1,0 +1,179 @@
+"""Pre-tokenized training cache for the frozen-tokenizer jobs.
+
+The reference re-runs its frozen tokenizers on every training step: the
+sampler pushes each batch through the full top VQGAN encoder and the parsing
+tokenizer per iteration (transformer_model.py:153-170,305-315), and the
+index-prediction job re-encodes through BOTH frozen VQGANs
+(hierarchy_inference_model.py:178-197).  Those frozen forwards are pure
+functions of the dataset — on TPU they cost as much as the trainable step
+itself (BENCHMARKS.md: ~130 ms tokenize vs ~125 ms train step at b=32).
+
+This module precomputes them ONCE into an on-disk cache of integer codebook
+indices (~2 KB/sample vs ~1.2 MB of decoded pixels), so training reads tokens
+straight from a memmap: no frozen conv forwards, no image decode, no PNG IO.
+Horizontal-flip augmentation is preserved by tokenizing each flip variant at
+build time (tokens of a flipped image are NOT a flip of the tokens — conv
+stacks are not reflection-equivariant).
+
+Layout: ``<cache_dir>/meta.json`` + one ``<field>.npy`` memmap per field,
+shaped ``[variants, num_samples, *field_shape]``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import random
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+# spatial sample keys that flip horizontally (axis 1 of HW(C) arrays)
+FLIP_KEYS = ("image", "densepose", "segm", "texture_mask")
+
+_META = "meta.json"
+
+
+def flip_sample(sample: Dict[str, Any]) -> Dict[str, Any]:
+    """Deterministic horizontal flip of one dataset sample (the synchronized
+    xflip of reference segm_attr_dataset.py:125-129, applied to all spatial
+    keys; the texture mask is built per-class from segm, so flipping it
+    directly is equivalent to rebuilding it from the flipped segm)."""
+    out = dict(sample)
+    for k in FLIP_KEYS:
+        if k in out:
+            out[k] = np.ascontiguousarray(out[k][:, ::-1])
+    return out
+
+
+def _pick_dtype(arr: np.ndarray) -> np.dtype:
+    """Smallest signed integer dtype that holds the observed index range."""
+    lo, hi = int(arr.min(initial=0)), int(arr.max(initial=0))
+    for dt in (np.int8, np.int16, np.int32):
+        info = np.iinfo(dt)
+        if info.min <= lo and hi <= info.max:
+            return np.dtype(dt)
+    return np.dtype(np.int64)
+
+
+def build_token_cache(
+    cache_dir: str,
+    dataset,
+    tokenize_batch: Callable[[Dict[str, np.ndarray]], Dict[str, np.ndarray]],
+    batch_size: int = 8,
+    variants: int = 1,
+    extra_meta: Optional[Dict[str, Any]] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> Dict[str, Any]:
+    """Tokenize ``dataset`` through ``tokenize_batch`` and write the cache.
+
+    ``tokenize_batch`` maps a collated numpy batch to a dict of per-sample
+    integer arrays ``[B, *shape]``.  ``variants=2`` additionally tokenizes the
+    horizontally-flipped copy of every sample (for xflip training).  The last
+    batch is padded to ``batch_size`` so the jitted tokenizer compiles for
+    exactly one shape.
+    """
+    from text2human_tpu.data.loader import collate
+
+    os.makedirs(cache_dir, exist_ok=True)
+    n = len(dataset)
+    memmaps: Dict[str, np.memmap] = {}
+    dtypes: Dict[str, np.dtype] = {}
+    fnames: List[str] = []
+    total = variants * n
+    done = 0
+    for v in range(variants):
+        for start in range(0, n, batch_size):
+            idx = list(range(start, min(start + batch_size, n)))
+            samples = [dataset[i] for i in idx]
+            if v == 0:
+                fnames.extend(
+                    str(s.get("img_name", i)) for s, i in zip(samples, idx)
+                )
+            if v == 1:
+                samples = [flip_sample(s) for s in samples]
+            # pad the tail batch to the compiled batch size
+            pad = batch_size - len(samples)
+            if pad:
+                samples = samples + [samples[-1]] * pad
+            batch = collate(samples)
+            out = tokenize_batch(batch)
+            for k, arr in out.items():
+                arr = np.asarray(arr)
+                if pad:
+                    arr = arr[: len(idx)]
+                if k not in memmaps:
+                    dtypes[k] = _pick_dtype(arr)
+                    memmaps[k] = np.lib.format.open_memmap(
+                        osp.join(cache_dir, f"{k}.npy"),
+                        mode="w+",
+                        dtype=dtypes[k],
+                        shape=(variants, n) + arr.shape[1:],
+                    )
+                info = np.iinfo(dtypes[k])
+                if arr.min() < info.min or arr.max() > info.max:
+                    raise ValueError(
+                        f"token field {k!r} outgrew its {dtypes[k]} range "
+                        f"mid-build (got [{arr.min()}, {arr.max()}])"
+                    )
+                memmaps[k][v, start : start + len(idx)] = arr.astype(dtypes[k])
+            done += len(idx)
+            if progress is not None:
+                progress(done, total)
+    for m in memmaps.values():
+        m.flush()
+    meta = {
+        "num_samples": n,
+        "variants": variants,
+        "fields": {
+            k: {"dtype": str(dtypes[k]), "shape": list(memmaps[k].shape[2:])}
+            for k in memmaps
+        },
+        "fnames": fnames,
+        **(extra_meta or {}),
+    }
+    with open(osp.join(cache_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+class TokenDataset:
+    """Map-style dataset over a built token cache.
+
+    ``xflip=True`` picks a random flip variant per access (the cache must have
+    been built with ``variants=2``), mirroring the reference's synchronized
+    random xflip — but on tokens, for free.
+    """
+
+    def __init__(self, cache_dir: str, xflip: bool = False):
+        with open(osp.join(cache_dir, _META)) as f:
+            self.meta = json.load(f)
+        self.n = int(self.meta["num_samples"])
+        self.variants = int(self.meta["variants"])
+        if xflip and self.variants < 2:
+            raise ValueError(
+                f"xflip requested but the cache at {cache_dir} was built "
+                f"with variants={self.variants}; rebuild with --variants 2"
+            )
+        self.xflip = xflip
+        self.fnames = self.meta.get("fnames") or []
+        self.fields = {
+            k: np.load(osp.join(cache_dir, f"{k}.npy"), mmap_mode="r")
+            for k in self.meta["fields"]
+        }
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        v = random.randrange(self.variants) if self.xflip else 0
+        out: Dict[str, Any] = {
+            # int32 device-side: small index dtypes are a storage format, not
+            # a compute one (gather/one_hot paths expect i32)
+            k: np.asarray(m[v, index]).astype(np.int32)
+            for k, m in self.fields.items()
+        }
+        if self.fnames:
+            out["img_name"] = self.fnames[index]
+        return out

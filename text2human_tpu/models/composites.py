@@ -204,6 +204,15 @@ class HierarchyVQ(nn.Module):
         h = self.bot_quant_conv(h)
         return self.bot_quantize(h, texture_mask)
 
+    def top_indices(self, x: jax.Array, texture_mask: jax.Array) -> QuantOut:
+        """Frozen top path -> quantizer output (indices + codebook ids), the
+        integer form of ``top_encode`` for token-cache builds: the post-quant
+        feature is reconstructible from (indices, cb_ids) via
+        ``top_feature_from_indices``."""
+        h = self.top_encoder(x)
+        h = self.top_quant_conv(h)
+        return self.top_quantize(h, texture_mask)
+
     def top_feature_from_indices(
         self, top_indices: jax.Array, texture_mask: jax.Array
     ) -> jax.Array:

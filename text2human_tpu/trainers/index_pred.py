@@ -58,6 +58,8 @@ class IndexPredTrainer:
             momentum=train_cfg.momentum,
         )
         self._prepare = jax.jit(self._prepare_impl)
+        self._tokenize = jax.jit(self._tokenize_impl)
+        self._prepare_tokens = jax.jit(self._prepare_tokens_impl)
         self._step = jax.jit(self._train_step, donate_argnums=(0,))
         self._eval = jax.jit(self._eval_step)
 
@@ -78,6 +80,50 @@ class IndexPredTrainer:
 
     def prepare(self, vq_params, batch):
         return self._prepare(vq_params, batch)
+
+    # -- token-cache path: the frozen encoders run once per dataset, not once
+    # per step (data/token_cache.py); training rebuilds feature_top from the
+    # cached integer indices with a codebook gather + 1x1 conv
+
+    def _tokenize_impl(self, vq_params, batch) -> Dict[str, jax.Array]:
+        """Integer form of ``prepare`` for cache builds: top indices replace
+        the [N,32,16,256] float feature (2 KB vs 512 KB per sample)."""
+        x, mask = batch["image"], batch["texture_mask"]
+        top = self.hierarchy.apply(
+            {"params": vq_params}, x, mask, method=HierarchyVQ.top_indices
+        )
+        bot = self.hierarchy.apply(
+            {"params": vq_params}, x, mask, method=HierarchyVQ.bot_indices
+        )
+        return {
+            "top_local": top.indices.astype(jnp.int32),
+            "top_cb": top.cb_ids.astype(jnp.int32),
+            "gt_indices": bot.indices.astype(jnp.int32),
+            "cb_ids": bot.cb_ids.astype(jnp.int32),
+        }
+
+    def tokenize(self, vq_params, batch):
+        return self._tokenize(vq_params, batch)
+
+    def _prepare_tokens_impl(self, vq_params, tokens) -> Dict[str, jax.Array]:
+        """Cached tokens -> the same data dict ``prepare`` produces.  The
+        reconstruction is exact up to the straight-through estimator's float
+        form: forward z_q values ARE codebook entries, so gather + the 1x1
+        post-quant conv reproduces feature_top (allclose-tested)."""
+        feature_top = self.hierarchy.apply(
+            {"params": vq_params},
+            tokens["top_local"],
+            tokens["top_cb"].astype(jnp.float32),
+            method=HierarchyVQ.top_feature_from_indices,
+        )
+        return {
+            "feature_top": jax.lax.stop_gradient(feature_top),
+            "gt_indices": tokens["gt_indices"],
+            "cb_ids": tokens["cb_ids"],
+        }
+
+    def prepare_from_tokens(self, vq_params, tokens):
+        return self._prepare_tokens(vq_params, tokens)
 
     def init_state(self, key, sample_feature) -> TrainState:
         variables = self.net.init(key, sample_feature)
