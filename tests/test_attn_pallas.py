@@ -131,6 +131,37 @@ def test_fused_attention_backward_matches_autodiff(rng):
         )
 
 
+def test_fused_attention_backward_head_blocked(rng):
+    """At the full C=512 trunk width the backward kernel blocks over heads
+    (whole-C blocks bust the 16 MB scoped-VMEM limit at b>=32 on v5e);
+    head blocks are exact, so gradients still match autodiff."""
+    from text2human_tpu.ops.attn_pallas import fused_attention_btc_trainable
+
+    b, t, n_head, d = 1, 32, 8, 64
+    c = n_head * d  # 512 -> block_heads=4, two grid blocks per batch elt
+    q = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_fused(q, k, v):
+        o = fused_attention_btc_trainable(
+            q, k, v, n_head=n_head, sm_scale=scale, interpret=True
+        )
+        return jnp.sum(o * co)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, n_head, scale) * co)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(g_fused, g_ref, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4, err_msg=name
+        )
+
+
 def test_transformer_train_step_with_flash(rng):
     """The sampler training loss differentiates through the fused kernel and
     matches the einsum path's gradients."""

@@ -153,14 +153,31 @@ def _attn_bwd_kernel_btc(
 
 def _attn_bwd_btc(q, k, v, do, n_head: int, sm_scale: float, interpret: bool):
     b, t, c = q.shape
-    spec = pl.BlockSpec((1, t, c), lambda ib: (ib, 0, 0), memory_space=pltpu.VMEM)
+    d = c // n_head
+    # Scoped-VMEM budget: whole-C blocks double-buffer 7 [T, C] f32 buffers
+    # (4 in + 3 out) on top of ~5 MB of per-head [T, T] temporaries — at
+    # C=512/T=512 that is ~17.7 MB, over the 16 MB scoped limit.  Block over
+    # heads so the packed column width stays <= 256 (must remain a multiple
+    # of 128 for Mosaic's lane constraint); each head's gradient is
+    # independent, so head blocks are exact.
+    block_heads = n_head
+    if c > 256:
+        for bh in range(n_head - 1, 0, -1):
+            if n_head % bh == 0 and (bh * d) % 128 == 0 and bh * d <= 256:
+                block_heads = bh
+                break
+    n_blocks = n_head // block_heads
+    bc = block_heads * d
+    spec = pl.BlockSpec(
+        (1, t, bc), lambda ib, ih: (ib, 0, ih), memory_space=pltpu.VMEM
+    )
     shape = jax.ShapeDtypeStruct((b, t, c), q.dtype)
     return pl.pallas_call(
         functools.partial(
-            _attn_bwd_kernel_btc, sm_scale=sm_scale, n_head=n_head
+            _attn_bwd_kernel_btc, sm_scale=sm_scale, n_head=block_heads
         ),
         out_shape=(shape, shape, shape),
-        grid=(b,),
+        grid=(b, n_blocks),
         in_specs=[spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         cost_estimate=pl.CostEstimate(
