@@ -196,3 +196,14 @@ class TestTokenizeCLI:
                 "-opt", "configs/debug/parsing_gen_debug.yml",
                 "--out", str(tmp_path / "x"), "--synthetic",
             ])
+
+    def test_rejects_real_build_without_checkpoints(self, tmp_path):
+        """A cache built from random-init frozen tokenizers is silent
+        garbage — non-synthetic builds refuse without the checkpoints."""
+        from text2human_tpu.cli import tokenize as tok_cli
+
+        with pytest.raises(SystemExit, match="img_ae_path"):
+            tok_cli.main([
+                "-opt", "configs/debug/sampler_debug.yml",
+                "--out", str(tmp_path / "x"),
+            ])

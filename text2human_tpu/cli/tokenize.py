@@ -60,6 +60,22 @@ def main(argv=None):
             f"model_type {mt!r} has no frozen tokenizers to cache; "
             "token caches apply to the sampler and index-prediction jobs"
         )
+    # a cache built from random-init frozen tokenizers is silent garbage —
+    # refuse real builds without the upstream checkpoints (the train loop's
+    # random-init fallback is a smoke-mode convenience, not a cache source)
+    if not args.synthetic:
+        need = (
+            ("img_ae_path", "segm_ae_path")
+            if mt == "TransformerTextureAwareModel"
+            else ("top_vae_path", "bot_vae_path")
+        )
+        missing = [k for k in need if not (opt.get(k) and osp.exists(opt[k]))]
+        if missing:
+            raise SystemExit(
+                "tokenizing a real dataset needs the frozen-tokenizer "
+                f"checkpoints; missing or nonexistent: {missing} "
+                "(use --synthetic for smoke builds)"
+            )
     # the cache must hold UNFLIPPED tokens in variant 0 — flips are applied
     # deterministically by the builder, never by the source dataset
     # (mutated in place to keep the NoneDict missing-key semantics)
