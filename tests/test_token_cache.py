@@ -95,6 +95,112 @@ class TestBuilder:
         with pytest.raises(ValueError, match="variants=1"):
             TokenDataset(cache, xflip=True)
 
+    def test_rejects_bogus_variant_counts(self, tmp_path):
+        """variants>2 would store unflipped duplicates and skew xflip odds."""
+        with pytest.raises(ValueError, match="variants"):
+            build_token_cache(
+                str(tmp_path / "c"), _fake_dataset(2), _fake_tokenizer,
+                variants=3,
+            )
+
+    def test_dtype_widens_mid_build(self, tmp_path):
+        """The field dtype is sized from the first batch; a later batch that
+        outgrows it must widen the memmap, not abort the build."""
+        ds = _fake_dataset(4)
+
+        def tok(batch):
+            # first batch fits int8, the second does not
+            base = (batch["image"][..., 0] > 0).astype(np.int64)
+            names = batch["img_name"]
+            if "img_003.png" in names:
+                base = base + 1000
+            return {"tok": base}
+
+        cache = str(tmp_path / "wide")
+        build_token_cache(cache, ds, tok, batch_size=2, variants=1)
+        raw = np.load(osp.join(cache, "tok.npy"), mmap_mode="r")
+        assert raw.dtype == np.int16
+        tds = TokenDataset(cache)
+        # early (narrow-written) and late (wide) rows both read back exactly
+        np.testing.assert_array_equal(
+            tds[0]["tok"], tok({"image": ds[0]["image"][None],
+                                "img_name": [ds[0]["img_name"]]})["tok"][0],
+        )
+        np.testing.assert_array_equal(
+            tds[3]["tok"], tok({"image": ds[3]["image"][None],
+                                "img_name": [ds[3]["img_name"]]})["tok"][0],
+        )
+
+
+class TestTrainConsumption:
+    """cli/train.py's token-cache consumption rules."""
+
+    def _cache(self, tmp_path, variants=2, synthetic=True):
+        cache = str(tmp_path / "cache")
+        build_token_cache(
+            cache, _fake_dataset(3), _fake_tokenizer, batch_size=2,
+            variants=variants, extra_meta={"synthetic": synthetic},
+        )
+        return cache
+
+    def test_missing_configured_cache_raises(self, tmp_path):
+        """A configured-but-absent cache must never silently fall back to
+        the ~2x-slower pixel path."""
+        from text2human_tpu.cli.train import make_dataset
+
+        opt = {"model_type": "TransformerTextureAwareModel",
+               "token_cache": str(tmp_path / "nope")}
+        with pytest.raises(FileNotFoundError, match="token_cache"):
+            make_dataset(opt, "train", synthetic=False)
+
+    def test_xflip_defaults_on_for_train_split(self, tmp_path):
+        """The reference train scripts hard-code xflip=True
+        (train_sampler.py:44); cached training must not silently drop the
+        augmentation its 2x build cost paid for."""
+        from text2human_tpu.cli.train import make_dataset
+
+        root = str(tmp_path)
+        for split in ("train", "val"):
+            build_token_cache(
+                osp.join(root, split), _fake_dataset(3), _fake_tokenizer,
+                batch_size=2, variants=2,
+            )
+        opt = {"model_type": "TransformerTextureAwareModel",
+               "token_cache": root}
+        assert make_dataset(opt, "train", False).xflip is True
+        assert make_dataset(opt, "val", False).xflip is False
+        assert make_dataset(
+            {**opt, "xflip": False}, "train", False
+        ).xflip is False
+
+    def test_real_cache_requires_hierarchy_checkpoints(self, tmp_path):
+        """Cached index-pred gathers against the frozen codebooks every step;
+        consuming a REAL cache with random-init codebooks must fail loudly."""
+        from text2human_tpu.cli.builders import build_trainer
+        from text2human_tpu.cli.train import TrainLoop
+        from text2human_tpu.config import parse
+
+        opt = parse("configs/debug/index_pred_debug.yml", is_train=True)
+        loop = TrainLoop(
+            opt, build_trainer(opt), synthetic=False,
+            token_meta={"synthetic": False},
+        )
+        with pytest.raises(FileNotFoundError, match="top_vae_path"):
+            loop.init({"top_local": np.zeros((1, 4), np.int32)})
+
+    def test_synthetic_cache_allows_random_frozen(self, tmp_path):
+        """Smoke caches (built --synthetic) keep the random-init fallback."""
+        from text2human_tpu.cli.builders import build_trainer
+        from text2human_tpu.cli.train import TrainLoop
+        from text2human_tpu.config import parse
+
+        opt = parse("configs/debug/index_pred_debug.yml", is_train=True)
+        loop = TrainLoop(
+            opt, build_trainer(opt), synthetic=False,
+            token_meta={"synthetic": True},
+        )
+        assert loop._consuming_real_cache() is False
+
 
 class TestIndexPredTokenParity:
     """prepare_from_tokens(tokenize(batch)) must reproduce prepare(batch)."""

@@ -31,7 +31,7 @@ def main(argv=None):
     parser.add_argument("--splits", default="train,val",
                         help="comma-separated dataset splits to tokenize")
     parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--variants", type=int, default=0,
+    parser.add_argument("--variants", type=int, default=0, choices=(0, 1, 2),
                         help="flip variants (default: 2 for train, 1 otherwise)")
     parser.add_argument("--synthetic", action="store_true",
                         help="tokenize the synthetic dataset (smoke/debug)")
@@ -87,9 +87,11 @@ def main(argv=None):
 
     for split in [s for s in args.splits.split(",") if s]:
         ds = make_dataset(opt, split, args.synthetic)
-        if loop.state is None:  # frozen params load once, from the first split
+        if not loop.frozen:  # frozen params load once, from the first split;
+            # the build never touches trainable state, so skip init()'s
+            # transformer/UNet + optimizer allocation entirely
             sample = ds[0]
-            loop.init({
+            loop.load_frozen({
                 k: ([v] if isinstance(v, str) else np.asarray(v)[None])
                 for k, v in sample.items()
             })
@@ -129,6 +131,10 @@ def main(argv=None):
                 "job": mt,
                 "opt_name": opt.get("name"),
                 "source_config": osp.abspath(args.opt),
+                # consumers gate their frozen-checkpoint requirements on this:
+                # a real-checkpoint cache must never be trained against
+                # random-init codebooks (cli/train.py:_consuming_real_cache)
+                "synthetic": bool(args.synthetic),
             },
             progress=progress,
         )

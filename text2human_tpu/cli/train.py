@@ -50,6 +50,27 @@ def _install_sigterm_handler():
         return None
 
 
+def _train_xflip(opt: Dict[str, Any], split: str) -> bool:
+    """The reference train scripts hard-code ``xflip=True`` on the train
+    split (train_vqvae.py:44, train_sampler.py:44, train_parsing_token.py:40,
+    train_index_prediction.py:44) and never flip val/test.  YAML
+    ``xflip: false`` opts out."""
+    if split != "train":
+        return False
+    v = opt.get("xflip")
+    return True if v is None else bool(v)
+
+
+def _net_resolution(opt: Dict[str, Any]) -> int:
+    """The configured network input resolution (one key per job family)."""
+    return (
+        opt.get("resolution")
+        or opt.get("top_resolution")
+        or opt.get("img_resolution")
+        or 512
+    )
+
+
 def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
     # pre-tokenized cache (cli/tokenize.py): the frozen-tokenizer jobs train
     # straight from cached integer indices — no frozen conv forwards, no
@@ -63,23 +84,24 @@ def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
             "TransformerTextureAwareModel",
             "VQGANTextureAwareSpatialHierarchyInferenceModel",
         )
-        and osp.exists(osp.join(tc, split, "meta.json"))
     ):
+        meta = osp.join(tc, split, "meta.json")
+        if not osp.exists(meta):
+            # a configured-but-missing cache must never silently fall back
+            # to the ~2x-slower per-step frozen forwards (or crash later on
+            # a pixel-free host with an unrelated error)
+            raise FileNotFoundError(
+                f"token_cache: {tc!r} is configured but {meta} does not "
+                "exist; build it with `python -m text2human_tpu.cli.tokenize "
+                f"-opt <config> --out {tc}` (all of --splits), or remove "
+                "token_cache: to train from pixels"
+            )
         from text2human_tpu.data.token_cache import TokenDataset
 
-        return TokenDataset(
-            osp.join(tc, split),
-            xflip=split == "train" and bool(opt.get("xflip")),
-        )
+        return TokenDataset(osp.join(tc, split), xflip=_train_xflip(opt, split))
     if synthetic:
         # synthetic images must match the configured network resolution
-        res = (
-            opt.get("synthetic_resolution")
-            or opt.get("resolution")
-            or opt.get("top_resolution")
-            or opt.get("img_resolution")
-            or 512
-        )
+        res = opt.get("synthetic_resolution") or _net_resolution(opt)
         return SyntheticDataset(
             length=opt.get("synthetic_length") or 2 * (opt.get("batch_size") or 4),
             resolution=res,
@@ -90,8 +112,12 @@ def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
     mt = opt["model_type"]
     ann = opt[f"{split}_ann_file"]
     if mt == "VQSegmentationModel":
-        return MaskDataset(opt["segm_dir"], ann, opt.get("downsample_factor") or 2)
+        return MaskDataset(
+            opt["segm_dir"], ann, opt.get("downsample_factor") or 2,
+            xflip=_train_xflip(opt, split),
+        )
     if mt == "ParsingGenModel":
+        # the reference's parsing-gen loader never flips (train_parsing_gen.py)
         return ParsingGenerationDataset(
             opt["segm_dir"], opt["pose_dir"], ann, opt.get("downsample_factor") or 2
         )
@@ -102,7 +128,7 @@ def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
         opt["pose_dir"],
         ann,
         opt.get("downsample_factor") or 2,
-        xflip=opt.get("xflip") or False,
+        xflip=_train_xflip(opt, split),
     )
 
 
@@ -115,7 +141,7 @@ def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 class TrainLoop:
     """Adapter running any of the six trainers over the shared epoch loop."""
 
-    def __init__(self, opt, trainer, synthetic: bool, mesh=None):
+    def __init__(self, opt, trainer, synthetic: bool, mesh=None, token_meta=None):
         self.opt = opt
         self.trainer = trainer
         self.mt = opt["model_type"]
@@ -124,6 +150,10 @@ class TrainLoop:
         self.state = None
         self.frozen: Dict[str, Any] = {}
         self.mesh = mesh
+        # meta.json of the TokenDataset feeding this loop, if any — a cache
+        # built from REAL checkpoints must never be consumed against
+        # random-init frozen codebooks (they are load-bearing at gather time)
+        self.token_meta = token_meta
 
     def _shard(self, batch):
         if self.mesh is None:
@@ -153,12 +183,7 @@ class TrainLoop:
     def _dummy_pixel_batch(self):
         """Shape-only pixel batch for init when training from a token cache
         (frozen-param random-init fallback and state init need pixel shapes)."""
-        res = (
-            self.opt.get("img_resolution")
-            or self.opt.get("top_resolution")
-            or self.opt.get("resolution")
-            or 512
-        )
+        res = _net_resolution(self.opt)
         h, w = res, res // 2
         return {
             "image": jnp.zeros((1, h, w, 3), jnp.float32),
@@ -180,6 +205,29 @@ class TrainLoop:
             if mt == "HierarchyVQSpatialTextureAwareModel":
                 self._load_into_gen("top_vae_path")
         elif mt == "TransformerTextureAwareModel":
+            self._load_frozen_from(b)
+            self.state = t.init_state(self._next_key())
+        elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
+            self._load_frozen_from(b)
+            data = t.prepare(self.frozen["vq"], b)
+            self.state = t.init_state(self._next_key(), data["feature_top"])
+        elif mt == "ParsingGenModel":
+            self.state = t.init_state(self._next_key(), b["densepose"], b["attr"])
+        else:
+            raise ValueError(self.mt)
+
+    def load_frozen(self, first_batch):
+        """Frozen tokenizer params only (cli/tokenize.py): a cache build never
+        touches the trainable state, so skip the transformer/UNet init and the
+        optimizer allocation that ``init`` would pay."""
+        b = to_device_batch(first_batch)
+        if self._is_token_batch(b):
+            b = self._dummy_pixel_batch()
+        self._load_frozen_from(b)
+
+    def _load_frozen_from(self, b):
+        t, mt = self.trainer, self.mt
+        if mt == "TransformerTextureAwareModel":
             self.frozen["img"] = self._frozen_params(
                 "img_ae_path",
                 lambda: t.img_vq.init(
@@ -194,19 +242,38 @@ class TrainLoop:
                                    t.segm_vq.cfg.in_channels, dtype=jnp.float32),
                 )["params"],
             )
-            self.state = t.init_state(self._next_key())
         elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
             self.frozen["vq"] = self._frozen_hierarchy_params(
                 lambda: t.hierarchy.init(
                     self._next_key(), b["image"], b["texture_mask"]
                 )["params"],
             )
-            data = t.prepare(self.frozen["vq"], b)
-            self.state = t.init_state(self._next_key(), data["feature_top"])
-        elif mt == "ParsingGenModel":
-            self.state = t.init_state(self._next_key(), b["densepose"], b["attr"])
         else:
-            raise ValueError(self.mt)
+            raise ValueError(f"{mt} has no frozen tokenizers")
+
+    def _consuming_real_cache(self) -> bool:
+        """True when this loop trains from a token cache that was built with
+        the real frozen checkpoints (meta records ``synthetic``; caches from
+        before the key are treated as real — the strict direction)."""
+        return (
+            self.token_meta is not None
+            and not self.synthetic
+            and not self.token_meta.get("synthetic", False)
+        )
+
+    def _sampler_tokens(self, b):
+        """Sampler train/eval/vis tokens: straight from a cached token batch,
+        else through the frozen tokenizers (the single dispatch point — train,
+        validate and save_visuals must never diverge on this)."""
+        if "x0_cont" in b:
+            return b
+        return self.trainer.tokenize(self.frozen["img"], self.frozen["segm"], b)
+
+    def _hierarchy_data(self, b):
+        """Index-pred prepared features, from cached tokens or pixels."""
+        if "top_local" in b:
+            return self.trainer.prepare_from_tokens(self.frozen["vq"], b)
+        return self.trainer.prepare(self.frozen["vq"], b)
 
     def _frozen_hierarchy_params(self, random_init):
         """HierarchyVQ params from BOTH the top and bottom checkpoints
@@ -224,6 +291,15 @@ class TrainLoop:
             from text2human_tpu.utils.torch_import import convert_hierarchy_params
 
             return convert_hierarchy_params(top, bot)
+        if self._consuming_real_cache():
+            # prepare_from_tokens gathers cached indices against the frozen
+            # top codebook — with a random-init codebook the loss would still
+            # decrease while learning garbage, so fail instead
+            raise FileNotFoundError(
+                "training index-prediction from a real token cache needs "
+                "top_vae_path and bot_vae_path: the cached indices are "
+                "decoded through the frozen codebooks every step"
+            )
         return random_init()
 
     def _frozen_params(self, path_key: str, random_init):
@@ -236,6 +312,15 @@ class TrainLoop:
                 return ti.convert_top_vqgan(ckpt)["params"]
             if path_key == "segm_ae_path":
                 return ti.convert_segm_tokenizer(ckpt)["params"]
+        if self._consuming_real_cache():
+            # cached sampler training itself never touches these params
+            # (the tokens are precomputed), but the epoch visuals decode
+            # through them — warn rather than block the pixel-free use case
+            get_root_logger().warning(
+                f"{path_key} not set while training from a real token cache: "
+                "training reads cached tokens and is unaffected, but epoch "
+                "visual decodes will go through a RANDOM codebook"
+            )
         return random_init()
 
     def _load_into_gen(self, path_key: str):
@@ -271,16 +356,10 @@ class TrainLoop:
                     "HierarchyVQSpatialTextureAwareModel"):
             self.state, logs = t.train_step(self.state, b, self._next_key())
         elif mt == "TransformerTextureAwareModel":
-            if "x0_cont" in b:  # pre-tokenized cache batch
-                tokens = b
-            else:
-                tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+            tokens = self._sampler_tokens(b)
             self.state, logs = t.train_step(self.state, tokens, self._next_key())
         elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
-            if "top_local" in b:
-                data = t.prepare_from_tokens(self.frozen["vq"], b)
-            else:
-                data = t.prepare(self.frozen["vq"], b)
+            data = self._hierarchy_data(b)
             self.state, logs = t.train_step(self.state, data, self._next_key())
         elif mt == "ParsingGenModel":
             self.state, logs = t.train_step(self.state, b, self._next_key())
@@ -334,10 +413,7 @@ class TrainLoop:
             # [image | decode(gt indices) | decode(sampled indices)]
             from text2human_tpu.models.composites import TextureVQGAN
 
-            if "x0_cont" in b:
-                tokens = b
-            else:
-                tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+            tokens = self._sampler_tokens(b)
             h, w = t.tf_cfg.latent_shape
             gt = tokens["gt_local"][:1].reshape(1, h, w)
             pred_local, _ = t.sample(
@@ -361,11 +437,10 @@ class TrainLoop:
                     method=TextureVQGAN.decode_indices,
                 )
 
-            img_col = b["image"][0] if "image" in b else dec(gt)[0]
-            tri = jnp.concatenate(
-                [img_col, dec(gt)[0], dec(pred_local.reshape(1, h, w))[0]],
-                axis=1,
-            )
+            cols = [dec(gt)[0], dec(pred_local.reshape(1, h, w))[0]]
+            if "image" in b:  # token-cache batches carry no pixels
+                cols.insert(0, b["image"][0])
+            tri = jnp.concatenate(cols, axis=1)
             put(osp.join(vis_dir, f"epoch{epoch}_sample.png"),
                 jnp.clip((tri + 1) / 2, 0, 1))
         elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
@@ -373,12 +448,12 @@ class TrainLoop:
             # [image | gt-bottom recon | top-only decode | predicted-bottom]
             from text2human_tpu.models.composites import HierarchyVQ
 
-            if "top_local" in b:
-                data = t.prepare_from_tokens(self.frozen["vq"], b)
-                mask1 = data["cb_ids"][:1].astype(jnp.float32)
-            else:
-                data = t.prepare(self.frozen["vq"], b)
-                mask1 = b["texture_mask"][:1]
+            data = self._hierarchy_data(b)
+            mask1 = (
+                data["cb_ids"][:1].astype(jnp.float32)
+                if "top_local" in b
+                else b["texture_mask"][:1]
+            )
             ft = data["feature_top"][:1]
             pred, _ = t.predict_bot_indices(
                 self.state.params, self.state.batch_stats, ft, mask1
@@ -422,16 +497,10 @@ class TrainLoop:
                         "HierarchyVQSpatialTextureAwareModel"):
                 logs = t.eval_loss(self.state.params["gen"], b)
             elif mt == "TransformerTextureAwareModel":
-                if "x0_cont" in b:
-                    tokens = b
-                else:
-                    tokens = t.tokenize(self.frozen["img"], self.frozen["segm"], b)
+                tokens = self._sampler_tokens(b)
                 logs = t.eval_step(self.state.params, tokens, jax.random.key(0))
             elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
-                if "top_local" in b:
-                    data = t.prepare_from_tokens(self.frozen["vq"], b)
-                else:
-                    data = t.prepare(self.frozen["vq"], b)
+                data = self._hierarchy_data(b)
                 logs = t.eval_step(self.state.params, self.state.batch_stats, data)
                 logs = {"accuracy": logs["accuracy"]}
             elif mt == "ParsingGenModel":
@@ -523,7 +592,10 @@ def main(argv=None):
         dp = max(d for d in range(1, min(bs, n) + 1) if bs % d == 0)
         mesh = make_mesh({"dp": dp}, jax.devices()[:dp])
         logger.info(f"data-parallel mesh: {mesh.shape} (batch {bs})")
-    loop = TrainLoop(opt, trainer, args.synthetic, mesh=mesh)
+    loop = TrainLoop(
+        opt, trainer, args.synthetic, mesh=mesh,
+        token_meta=getattr(train_ds, "meta", None),
+    )
 
     num_epochs = opt.get("num_epochs") or 100
     total_iters = num_epochs * max(len(loader), 1)

@@ -57,6 +57,24 @@ def _pick_dtype(arr: np.ndarray) -> np.dtype:
     return np.dtype(np.int64)
 
 
+def _widen_memmap(path: str, old: np.memmap, new_dtype: np.dtype) -> np.memmap:
+    """Rewrite a field memmap with a wider dtype, preserving written data.
+
+    Field dtypes are sized from the first batch's observed range; a later
+    batch can legitimately exceed it (early dataset files are often
+    homogeneous).  Widening costs one sequential copy — never abort a build
+    that may be hours into its frozen-tokenizer sweep."""
+    tmp = path + ".widen"
+    wide = np.lib.format.open_memmap(
+        tmp, mode="w+", dtype=new_dtype, shape=old.shape
+    )
+    wide[:] = old[:]
+    wide.flush()
+    del old, wide
+    os.replace(tmp, path)
+    return np.lib.format.open_memmap(path, mode="r+")
+
+
 def build_token_cache(
     cache_dir: str,
     dataset,
@@ -76,6 +94,10 @@ def build_token_cache(
     """
     from text2human_tpu.data.loader import collate
 
+    if variants not in (1, 2):
+        # variant 0 is unflipped, variant 1 flipped; anything beyond would
+        # silently store unflipped duplicates and skew xflip sampling
+        raise ValueError(f"variants must be 1 or 2, got {variants}")
     os.makedirs(cache_dir, exist_ok=True)
     n = len(dataset)
     memmaps: Dict[str, np.memmap] = {}
@@ -113,9 +135,9 @@ def build_token_cache(
                     )
                 info = np.iinfo(dtypes[k])
                 if arr.min() < info.min or arr.max() > info.max:
-                    raise ValueError(
-                        f"token field {k!r} outgrew its {dtypes[k]} range "
-                        f"mid-build (got [{arr.min()}, {arr.max()}])"
+                    dtypes[k] = _pick_dtype(arr)
+                    memmaps[k] = _widen_memmap(
+                        osp.join(cache_dir, f"{k}.npy"), memmaps[k], dtypes[k]
                     )
                 memmaps[k][v, start : start + len(idx)] = arr.astype(dtypes[k])
             done += len(idx)
@@ -154,7 +176,8 @@ class TokenDataset:
         if xflip and self.variants < 2:
             raise ValueError(
                 f"xflip requested but the cache at {cache_dir} was built "
-                f"with variants={self.variants}; rebuild with --variants 2"
+                f"with variants={self.variants}; rebuild with --variants 2 "
+                "or set `xflip: false` in the training YAML"
             )
         self.xflip = xflip
         self.fnames = self.meta.get("fnames") or []
