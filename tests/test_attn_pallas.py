@@ -224,3 +224,71 @@ def test_block_heads_must_divide_n_head(rng):
     )
     want = fused_attention_btc(q, q, q, n_head=n_head, sm_scale=0.1, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+
+
+def test_partitioned_kernel_shards_batch_and_heads(rng):
+    """The custom_partitioning rule must genuinely split the kernel — local
+    per-device shapes in the compiled module, no all-gather — over a dp x tp
+    mesh, with exact-equal output (forward) and matching gradients (backward),
+    and T forced replicated."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from text2human_tpu.ops.attn_pallas import fused_attention_btc_trainable
+
+    b, t, n_head, d = 8, 64, 8, 64
+    c = n_head * d
+    scale = 1.0 / np.sqrt(d)
+    q = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+
+    def attn(q, k, v):
+        return fused_attention_btc_trainable(
+            q, k, v, n_head=n_head, sm_scale=scale, interpret=True
+        )
+
+    ref = attn(q, k, v)
+    g_ref = jax.grad(lambda *a: jnp.sum(jnp.sin(attn(*a))), argnums=(0, 1, 2))(
+        q, k, v
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("dp", "tp"))
+    sh = NamedSharding(mesh, P("dp", None, "tp"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    jitted = jax.jit(attn)
+    out = jitted(qs, ks, vs)
+    assert out.sharding.spec == P("dp", None, "tp")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    hlo = jitted.lower(qs, ks, vs).compile().as_text()
+    assert "all-gather" not in hlo
+    assert f"f32[{b // 4},{t},{c // 2}]" in hlo  # per-device kernel block
+    assert f"f32[{b},{t},{c}]" not in hlo  # nothing runs at global shape
+
+    g = jax.jit(
+        jax.grad(lambda *a: jnp.sum(jnp.sin(attn(*a))), argnums=(0, 1, 2))
+    )(qs, ks, vs)
+    for got, want in zip(g, g_ref):
+        assert got.sharding.spec == P("dp", None, "tp")
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+
+    # a tp split that cannot align to head boundaries (6 heads over tp=4:
+    # C divides but heads do not) falls back to replicated heads — still
+    # correct, never wrong-shaped
+    nh6, c6 = 6, 6 * d
+    q6 = jnp.asarray(rng.standard_normal((4, t, c6)).astype(np.float32))
+
+    def attn6(q, k, v):
+        return fused_attention_btc_trainable(
+            q, k, v, n_head=nh6, sm_scale=scale, interpret=True
+        )
+
+    ref6 = attn6(q6, q6, q6)
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("tp",))
+    sh4 = NamedSharding(mesh4, P(None, None, "tp"))
+    q6s = jax.device_put(q6, sh4)
+    out6 = jax.jit(attn6)(q6s, q6s, q6s)
+    np.testing.assert_array_equal(np.asarray(out6), np.asarray(ref6))

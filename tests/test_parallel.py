@@ -197,8 +197,7 @@ def test_pipeline_tp_sharded_sampler(rng):
     """Latency-oriented serving: the sampler trunk's params tensor-sharded
     over tp (attention heads / MLP hidden / output-head classes) through jit
     sharding propagation — XLA splits the einsums per device — matches the
-    single-device pipeline. (The fused-attention kernel path instead shards
-    over dp via shard_map; tp serving uses the einsum path.)"""
+    single-device pipeline."""
     import sys
 
     sys.path.insert(0, "tests")
@@ -220,6 +219,47 @@ def test_pipeline_tp_sharded_sampler(rng):
     )
     out = pipe.sample_from_parsing(
         sh, jax.random.key(0), *replicate_tree(mesh, (segm, mask)), 4
+    )
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(out)), np.asarray(ref), atol=1e-4
+    )
+
+
+def test_pipeline_tp_fused_attention_kernel(rng):
+    """The fused attention kernel under a dp x tp mesh: its head-granular
+    `custom_partitioning` rule (ops/attn_pallas.py:_head_partition) lets
+    GSPMD run the Pallas call per device on its local heads — the layout
+    that previously forced the einsum fallback for tp serving.  Output must
+    match the single-device fused pipeline."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_pipeline import CFGS, RES, _init_params
+    from text2human_tpu.parallel.mesh import (
+        replicate_tree,
+        shard_batch,
+        shard_params,
+    )
+    from text2human_tpu.pipelines.sample import SamplePipeline
+
+    pipe = SamplePipeline(CFGS, fused_attn=True)
+    params = _init_params(pipe, rng)
+    b = 4
+    segm = jnp.asarray(rng.integers(0, 24, (b, RES, RES // 2)))
+    mask = jnp.asarray(rng.integers(0, 3, (b, RES, RES // 2)).astype(np.float32))
+    ref = pipe.sample_from_parsing(params, jax.random.key(0), segm, mask, 4)
+
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    sh = dict(replicate_tree(mesh, params))
+    # tp shards the qkv/proj kernels; the activations inherit the split and
+    # the attention custom call partitions at head boundaries (n_head=2,
+    # tp=2 -> one head per device)
+    sh["sampler"] = shard_params(
+        mesh, params["sampler"], transformer_param_specs(params["sampler"])
+    )
+    out = pipe.sample_from_parsing(
+        sh, jax.random.key(0), *shard_batch(mesh, (segm, mask)), 4
     )
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(
@@ -332,10 +372,12 @@ def test_all_training_jobs_dp_parity():
     g._dryrun_jobs_dp(mesh, 8, np.random.default_rng(0))
 
 
-def test_pipeline_mesh_tp_auto_einsum(rng):
-    """A mesh with tp > 1 selects the documented tp serving layout: the fused
-    attention kernel is force-disabled (einsum + jit sharding propagation)
-    and the result matches the single-device pipeline."""
+def test_pipeline_mesh_tp_layout(rng):
+    """A mesh with tp > 1 selects the jit-propagation serving layout (no dp
+    shard_map) and KEEPS the requested fused attention kernel — its
+    custom_partitioning rule shards the custom call at head boundaries, so
+    the einsum fallback is no longer forced.  Result matches the
+    single-device pipeline."""
     import sys
 
     sys.path.insert(0, "tests")
@@ -343,7 +385,10 @@ def test_pipeline_mesh_tp_auto_einsum(rng):
     from text2human_tpu.parallel.mesh import replicate_tree, shard_params
     from text2human_tpu.pipelines.sample import SamplePipeline
 
-    pipe = SamplePipeline(CFGS)
+    # fused single-device reference: the kernel's per-head math is identical
+    # under the head split, while einsum-vs-kernel float near-ties could
+    # flip sampled tokens
+    pipe = SamplePipeline(CFGS, fused_attn=True)
     params = _init_params(pipe, rng)
     b = 4
     segm = jnp.asarray(rng.integers(0, 24, (b, RES, RES // 2)))
@@ -351,10 +396,8 @@ def test_pipeline_mesh_tp_auto_einsum(rng):
     ref = pipe.sample_from_parsing(params, jax.random.key(0), segm, mask, 4)
 
     mesh = make_mesh({"dp": 4, "tp": 2})
-    # fused_attn requested, but the tp axis forces the einsum layout (a
-    # heads-split Pallas custom call cannot be partitioned by XLA)
     pipe_tp = SamplePipeline(CFGS, mesh=mesh, fused_attn=True)
-    assert pipe_tp.fused_attn is False
+    assert pipe_tp.fused_attn is True and pipe_tp._tp_serving is True
     sh = dict(replicate_tree(mesh, params))
     sh["sampler"] = shard_params(
         mesh, params["sampler"], transformer_param_specs(params["sampler"])

@@ -189,25 +189,104 @@ def _attn_bwd_btc(q, k, v, do, n_head: int, sm_scale: float, interpret: bool):
     )(q, k, v, do)
 
 
+def _head_partition(n_head: int, n_in: int, n_out: int, local_fn):
+    """`custom_partitioning` rule for the [B, T, C] kernels: batch shards
+    freely (dp), T is forced replicated (the kernels need the whole
+    sequence), and the packed-head dim C shards at whole-head granularity
+    (tp) — each device then runs the SAME kernel on its local heads, since
+    heads are fully independent.  XLA cannot partition a Pallas custom call
+    by itself; this rule is what lets the fused kernels run under
+    jit-propagated dp x tp shardings (docs/SCALING.md) instead of forcing
+    the einsum fallback."""
+
+    def axis_count(mesh, names):
+        if names is None:
+            return 1
+        names = names if isinstance(names, tuple) else (names,)
+        n = 1
+        for name in names:
+            n *= dict(mesh.shape)[name]
+        return n
+
+    def partition(mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = arg_shapes[0].sharding.spec
+        b_ax = spec[0] if len(spec) > 0 else None
+        c_ax = spec[2] if len(spec) > 2 else None
+        c_shards = axis_count(mesh, c_ax)
+        if n_head % c_shards != 0:
+            c_ax, c_shards = None, 1  # reshard to whole heads per device
+        ns = NamedSharding(mesh, P(b_ax, None, c_ax))
+        local_heads = n_head // c_shards
+
+        def lower_fn(*args):
+            return local_fn(local_heads, *args)
+
+        outs = ns if n_out == 1 else (ns,) * n_out
+        return mesh, lower_fn, outs, (ns,) * n_in
+
+    def infer(mesh, arg_shapes, shape):
+        sh = arg_shapes[0].sharding
+        return sh if n_out == 1 else (sh,) * n_out
+
+    args = ", ".join(["b t c"] * n_in)
+    outs = ", ".join(["b t c"] * n_out)
+    return dict(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=f"{args} -> {outs}",
+        need_replication_factors=("t",),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _trainable_attention(n_head: int, sm_scale: float, interpret: bool):
     """custom_vjp-wrapped fused attention for the training path: forward is
-    the whole-sequence kernel, backward recomputes probabilities in VMEM."""
+    the whole-sequence kernel, backward recomputes probabilities in VMEM.
+    Both directions carry a head-granular partitioning rule, so the kernels
+    shard over dp (batch) and tp (heads) meshes through plain jit sharding
+    propagation — no shard_map wrapper or einsum fallback needed."""
+    from jax.experimental.custom_partitioning import custom_partitioning
 
-    @jax.custom_vjp
-    def attn(q, k, v):
+    @custom_partitioning
+    def attn_fwd_p(q, k, v):
         return fused_attention_btc(
             q, k, v, n_head=n_head, sm_scale=sm_scale, interpret=interpret
         )
+
+    attn_fwd_p.def_partition(
+        **_head_partition(
+            n_head, 3, 1,
+            lambda nh, q, k, v: fused_attention_btc(
+                q, k, v, n_head=nh, sm_scale=sm_scale, interpret=interpret
+            ),
+        )
+    )
+
+    @custom_partitioning
+    def attn_bwd_p(q, k, v, do):
+        return _attn_bwd_btc(q, k, v, do, n_head, sm_scale, interpret)
+
+    attn_bwd_p.def_partition(
+        **_head_partition(
+            n_head, 4, 3,
+            lambda nh, q, k, v, do: _attn_bwd_btc(
+                q, k, v, do, nh, sm_scale, interpret
+            ),
+        )
+    )
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return attn_fwd_p(q, k, v)
 
     def fwd(q, k, v):
         return attn(q, k, v), (q, k, v)
 
     def bwd(res, do):
         q, k, v = res
-        return _attn_bwd_btc(
-            q, k, v, do.astype(q.dtype), n_head, sm_scale, interpret
-        )
+        return attn_bwd_p(q, k, v, do.astype(q.dtype))
 
     attn.defvjp(fwd, bwd)
     return attn

@@ -185,20 +185,19 @@ class SamplePipeline:
         # to the single-device path (batch must divide the dp axis size).
         #
         # With tp > 1 in the mesh, dp-only shard_map does not apply: the
-        # serving layout is einsum attention + jit sharding propagation
-        # (shard the sampler params with parallel.mesh.transformer_param_specs;
-        # XLA splits the einsums per device — docs/SCALING.md).  The fused
-        # kernel is auto-disabled in that layout: it is written for the
-        # whole-head, per-device-batch tile and a heads-split custom call
-        # cannot be partitioned by XLA.
+        # serving layout is jit sharding propagation (shard the sampler
+        # params with parallel.mesh.transformer_param_specs; XLA splits the
+        # einsums per device — docs/SCALING.md).  The fused attention kernel
+        # participates in that layout too: it carries a head-granular
+        # `custom_partitioning` rule (ops/attn_pallas.py:_head_partition),
+        # so GSPMD runs the same kernel per device on its local heads
+        # instead of falling back to einsum attention.
         self.mesh = mesh
         self.dp_axis = dp_axis
         self._tp_serving = mesh is not None and any(
             name != dp_axis and dict(mesh.shape)[name] > 1
             for name in mesh.axis_names
         )
-        if self._tp_serving:
-            self.fused_attn = False  # einsum path is the tp layout
         self.hierarchy = HierarchyVQ(cfgs.top, cfgs.top_quant, cfgs.bot, cfgs.bot_quant)
         self.segm_vq = SegmVQVAE(cfgs.segm, cfgs.segm_quant)
         self.denoiser = TransformerMultiHead(cfgs.transformer, dtype=dtype)
