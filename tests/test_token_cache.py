@@ -313,3 +313,223 @@ class TestTokenizeCLI:
                 "-opt", "configs/debug/sampler_debug.yml",
                 "--out", str(tmp_path / "x"),
             ])
+
+
+def _hier_batch(res=32, b=2, seed=0):
+    k = jax.random.key(seed)
+    img = jax.random.uniform(k, (b, res, res, 3), minval=-1, maxval=1)
+    mask = jax.random.randint(
+        jax.random.key(seed + 1), (b, res, res), 0, 18
+    ).astype(np.float32)
+    return {"image": img, "texture_mask": mask}
+
+
+class TestHierarchyHybridCache:
+    """Bottom-hierarchy GAN job: pixels + cached frozen-top indices
+    (HybridTokenDataset) must train identically to the pixel-only path."""
+
+    def _trainer(self):
+        from text2human_tpu.cli.builders import build_trainer
+        from text2human_tpu.config import parse
+
+        opt = parse("configs/debug/vqvae_bottom_debug.yml", is_train=True)
+        return build_trainer(opt)
+
+    def test_forward_with_top_matches_pixel_path(self):
+        t = self._trainer()
+        batch = _hier_batch()
+        params = t.init_gen_params(
+            jax.random.key(2), batch["image"], batch["texture_mask"]
+        )
+        toks = t.tokenize(params, batch)
+        plain = t.ae_apply(params, batch["image"], batch["texture_mask"])
+        cached = t.ae_apply(
+            params, batch["image"], batch["texture_mask"],
+            toks["top_local"], toks["top_cb"],
+        )
+        # forward z_q values ARE codebook rows: gather + the 1x1 post-quant
+        # conv reproduces top_encode's feature up to float re-rounding of
+        # the straight-through form z + (q - z), which the decoder amplifies
+        # to ~1e-4 absolute (relative error is unbounded near zero outputs)
+        for a, b_ in zip(plain, cached):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-3, atol=2e-4
+            )
+
+    def test_cached_train_step_matches_pixel_step(self):
+        t = self._trainer()
+        batch = _hier_batch()
+        gen = t.init_gen_params(
+            jax.random.key(2), batch["image"], batch["texture_mask"]
+        )
+        toks = {k: np.asarray(v) for k, v in t.tokenize(gen, batch).items()}
+        state = t.init_state(jax.random.key(3), gen, batch["image"])
+        # host snapshot: the jitted step donates its input state buffers
+        snap = jax.tree.map(np.asarray, jax.device_get(state))
+
+        def run(extra):
+            import jax.numpy as jnp
+
+            s = jax.tree.map(jnp.asarray, snap)
+            b = {**batch, **extra}
+            s, logs = t.train_step(s, b, jax.random.key(7))
+            return logs, s
+
+        logs_px, s_px = run({})
+        logs_tok, s_tok = run(
+            {"top_local": toks["top_local"], "top_cb": toks["top_cb"]}
+        )
+        for k in logs_px:
+            np.testing.assert_allclose(
+                float(logs_px[k]), float(logs_tok[k]), rtol=1e-3, atol=1e-5,
+                err_msg=f"metric {k} diverged between pixel and cached paths",
+            )
+        # generator gradients must agree in relative L2 (comparing params
+        # AFTER one Adam step would be meaningless: a fresh Adam step is
+        # ~lr*sign(g), so epsilon-scale grad noise flips whole entries)
+        import jax.numpy as jnp
+
+        def grads(extra):
+            b = {**batch, **extra}
+            extras = tuple(b[k] for k in t.ae_extra_keys if k in b)
+            g, _, _ = t.gen_grads_and_metrics(
+                snap.params["gen"], snap.params["disc"],
+                snap.batch_stats["disc"], jnp.zeros((), jnp.int32),
+                b["image"], b["texture_mask"], jax.random.key(7), extras,
+            )
+            return np.concatenate(
+                [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g)]
+            )
+
+        g_px = grads({})
+        g_tok = grads({"top_local": toks["top_local"], "top_cb": toks["top_cb"]})
+        rel = np.linalg.norm(g_px - g_tok) / (np.linalg.norm(g_px) + 1e-12)
+        # the cached quant_top matches top_encode to ~6e-8 absolute, but the
+        # random-init GAN head at these tiny dims amplifies input rounding
+        # ~1e6x (measured control: an 8e-9 random perturbation of quant_top
+        # already moves the full gen grads 3.3e-3 relative; the L1-only
+        # grads move just 2.6e-5).  5e-2 separates that conditioning noise
+        # from real bugs (wrong codebook/mask/flip => O(1) diff).
+        assert rel < 5e-2, f"gen grad relative L2 diff {rel:.2e}"
+
+    def test_hybrid_dataset_flip_sync(self, tmp_path):
+        """The flip variant drawn for the pixels must be the variant the
+        tokens are read from — a mismatch would train bottom codes against
+        the wrong top features on every flipped sample."""
+        from text2human_tpu.data.token_cache import HybridTokenDataset
+
+        base = [
+            {
+                "image": np.arange(48, dtype=np.float32).reshape(4, 4, 3),
+                "texture_mask": np.zeros((4, 4), np.float32),
+                "img_name": f"img_{i:03d}.png",
+            }
+            for i in range(3)
+        ]
+
+        def tok(batch):
+            # "tokens" = variant fingerprint of the (possibly flipped) image
+            return {"top_local": batch["image"][:, 0, :2, 0].astype(np.int64)}
+
+        cache = str(tmp_path / "hyb")
+        build_token_cache(cache, base, tok, batch_size=2, variants=2)
+        ds = HybridTokenDataset(base, cache, xflip=True)
+        seen = set()
+        for _ in range(32):
+            s = ds[0]
+            expect = tok({"image": s["image"][None]})["top_local"][0]
+            np.testing.assert_array_equal(s["top_local"], expect)
+            seen.add(tuple(np.asarray(s["top_local"]).ravel()))
+        assert len(seen) == 2  # both variants appear under random xflip
+
+    def test_hybrid_dataset_guards(self, tmp_path):
+        from text2human_tpu.data.token_cache import HybridTokenDataset
+
+        base = [
+            {"image": np.zeros((4, 4, 3), np.float32),
+             "img_name": f"img_{i}.png"}
+            for i in range(3)
+        ]
+        cache = str(tmp_path / "g")
+        build_token_cache(
+            cache, base, lambda b: {"top_local": b["image"][:, 0, 0, :1]},
+            batch_size=2, variants=1,
+        )
+        with pytest.raises(ValueError, match="variants=1"):
+            HybridTokenDataset(base, cache, xflip=True)
+        with pytest.raises(ValueError, match="3 samples"):
+            HybridTokenDataset(base[:2], cache)
+
+        class FlippingBase(list):
+            xflip = True
+
+        with pytest.raises(ValueError, match="xflip=False"):
+            HybridTokenDataset(FlippingBase(base), cache)
+
+        misnamed = [dict(s, img_name="other.png") for s in base]
+        with pytest.raises(ValueError, match="misaligned"):
+            HybridTokenDataset(misnamed, cache)[0]
+
+    def test_make_dataset_wires_hybrid(self, tmp_path, monkeypatch):
+        """cli/train.make_dataset: token_cache + hierarchy job -> a
+        HybridTokenDataset over an xflip-disabled pixel base."""
+        from text2human_tpu.cli import train as train_cli
+        from text2human_tpu.data.token_cache import HybridTokenDataset
+
+        base = [
+            {"image": np.zeros((4, 4, 3), np.float32),
+             "texture_mask": np.zeros((4, 4), np.float32),
+             "img_name": f"img_{i}.png"}
+            for i in range(2)
+        ]
+        cache = str(tmp_path / "mk")
+        build_token_cache(
+            cache + "/train", base,
+            lambda b: {"top_local": b["image"][:, 0, 0, :1]},
+            batch_size=2, variants=2,
+        )
+        captured = {}
+
+        def fake_ds(img_dir, segm_dir, pose_dir, ann, factor, xflip):
+            captured["xflip"] = xflip
+            return base
+
+        monkeypatch.setattr(
+            train_cli, "DeepFashionAttrSegmDataset", fake_ds
+        )
+        opt = {
+            "model_type": "HierarchyVQSpatialTextureAwareModel",
+            "token_cache": cache,
+            "train_img_dir": "x", "test_img_dir": "x", "segm_dir": "x",
+            "pose_dir": "x", "train_ann_file": "x",
+        }
+        ds = train_cli.make_dataset(opt, "train", synthetic=False)
+        assert isinstance(ds, HybridTokenDataset)
+        assert captured["xflip"] is False  # hybrid applies the flip itself
+        assert ds.xflip is True  # train split defaults xflip on
+
+
+class TestHierarchyTokenizeCLI:
+    def test_synthetic_build_writes_top_fields(self, tmp_path):
+        from text2human_tpu.cli import tokenize as tok_cli
+
+        cache = str(tmp_path / "tok_hier")
+        tok_cli.main([
+            "-opt", "configs/debug/vqvae_bottom_debug.yml",
+            "--out", cache, "--synthetic", "--batch-size", "2",
+            "--splits", "train",
+        ])
+        meta = osp.join(cache, "train", "meta.json")
+        assert osp.exists(meta)
+        raw = np.load(osp.join(cache, "train", "top_local.npy"), mmap_mode="r")
+        assert raw.shape[0] == 2  # both flip variants
+        assert osp.exists(osp.join(cache, "train", "top_cb.npy"))
+
+    def test_rejects_real_build_without_top_checkpoint(self, tmp_path):
+        from text2human_tpu.cli import tokenize as tok_cli
+
+        with pytest.raises(SystemExit, match="top_vae_path"):
+            tok_cli.main([
+                "-opt", "configs/debug/vqvae_bottom_debug.yml",
+                "--out", str(tmp_path / "x"),
+            ])

@@ -2,6 +2,7 @@
 
   python -m text2human_tpu.cli.tokenize -opt configs/sampler.yml --out token_cache/
   python -m text2human_tpu.cli.tokenize -opt configs/index_pred_net.yml --out token_cache_ip/
+  python -m text2human_tpu.cli.tokenize -opt configs/vqvae_bottom.yml --out token_cache_bot/
 
 Runs the job's frozen tokenizers ONCE over the dataset (both horizontal-flip
 variants for the train split) and writes integer-index memmaps that
@@ -9,8 +10,13 @@ variants for the train split) and writes integer-index memmaps that
 the per-step frozen VQGAN forwards the reference pays on every iteration
 (transformer_model.py:153-170, hierarchy_inference_model.py:178-197).
 
-The cache stores ~2 KB/sample of indices instead of ~1.2 MB of decoded
-pixels, so cached training also skips the whole image-decode pipeline.
+For the sampler/index-pred jobs the cache stores ~2 KB/sample of indices
+instead of ~1.2 MB of decoded pixels, so cached training also skips the
+whole image-decode pipeline.  The bottom-hierarchy GAN job still trains on
+pixels (reference hierarchy_vqgan_model.py:196-291 needs them for the recon
+loss and the disc) but its frozen TOP encoder is a pure function of the
+sample: its cache holds the top indices and training pairs them with the
+pixel dataset (data/token_cache.py:HybridTokenDataset).
 """
 
 from __future__ import annotations
@@ -21,6 +27,31 @@ import time
 
 import jax
 import numpy as np
+
+
+def _hierarchy_top_params(opt, trainer, ds, synthetic):
+    """Frozen top-path params for a hierarchy hybrid cache build.
+
+    ``HierarchyVQ.top_indices`` touches only the top_encoder /
+    top_quant_conv / top_quantize submodules, so a real build maps just
+    those from the top checkpoint; synthetic smoke builds jit-init the full
+    model (executing it eagerly on the host would crawl at full dims)."""
+    import jax.numpy as jnp
+
+    path = opt.get("top_vae_path")
+    if path and osp.exists(path) and not synthetic:
+        from text2human_tpu.utils import torch_import as ti
+
+        top = ti.convert_top_vqgan(ti.load_pth(path))["params"]
+        return {
+            "top_encoder": top["encoder"],
+            "top_quant_conv": top["quant_conv"],
+            "top_quantize": top["quantize"],
+        }
+    sample = ds[0]
+    img = jnp.asarray(np.asarray(sample["image"])[None])
+    mask = jnp.asarray(np.asarray(sample["texture_mask"])[None])
+    return jax.jit(trainer.model.init)(jax.random.key(0), img, mask)["params"]
 
 
 def main(argv=None):
@@ -52,23 +83,26 @@ def main(argv=None):
     logger = get_root_logger()
     opt = parse(args.opt, is_train=True)
     mt = opt["model_type"]
-    if mt not in (
-        "TransformerTextureAwareModel",
-        "VQGANTextureAwareSpatialHierarchyInferenceModel",
-    ):
+    # keys: jobs with frozen tokenizers; values: the checkpoints a REAL
+    # cache build requires (the hierarchy GAN job freezes only its top path
+    # — the bottom stack is what it trains)
+    needed_ckpts = {
+        "TransformerTextureAwareModel": ("img_ae_path", "segm_ae_path"),
+        "VQGANTextureAwareSpatialHierarchyInferenceModel":
+            ("top_vae_path", "bot_vae_path"),
+        "HierarchyVQSpatialTextureAwareModel": ("top_vae_path",),
+    }
+    if mt not in needed_ckpts:
         raise SystemExit(
             f"model_type {mt!r} has no frozen tokenizers to cache; "
-            "token caches apply to the sampler and index-prediction jobs"
+            "token caches apply to the sampler, index-prediction and "
+            "bottom-hierarchy jobs"
         )
     # a cache built from random-init frozen tokenizers is silent garbage —
     # refuse real builds without the upstream checkpoints (the train loop's
     # random-init fallback is a smoke-mode convenience, not a cache source)
     if not args.synthetic:
-        need = (
-            ("img_ae_path", "segm_ae_path")
-            if mt == "TransformerTextureAwareModel"
-            else ("top_vae_path", "bot_vae_path")
-        )
+        need = needed_ckpts[mt]
         missing = [k for k in need if not (opt.get(k) and osp.exists(opt[k]))]
         if missing:
             raise SystemExit(
@@ -84,12 +118,22 @@ def main(argv=None):
 
     trainer = build_trainer(opt)
     loop = TrainLoop(opt, trainer, args.synthetic)
+    top_params = None  # hierarchy job: frozen top-path subtree only
 
     for split in [s for s in args.splits.split(",") if s]:
         ds = make_dataset(opt, split, args.synthetic)
-        if not loop.frozen:  # frozen params load once, from the first split;
-            # the build never touches trainable state, so skip init()'s
-            # transformer/UNet + optimizer allocation entirely
+        if mt == "HierarchyVQSpatialTextureAwareModel":
+            if top_params is None:
+                top_params = _hierarchy_top_params(
+                    opt, trainer, ds, args.synthetic
+                )
+
+            def tokenize(batch):
+                out = trainer.tokenize(top_params, to_device_batch(batch))
+                return {k: np.asarray(v) for k, v in out.items()}
+        elif not loop.frozen:  # frozen params load once, from the first
+            # split; the build never touches trainable state, so skip
+            # init()'s transformer/UNet + optimizer allocation entirely
             sample = ds[0]
             loop.load_frozen({
                 k: ([v] if isinstance(v, str) else np.asarray(v)[None])
@@ -102,7 +146,7 @@ def main(argv=None):
                     loop.frozen["img"], loop.frozen["segm"], to_device_batch(batch)
                 )
                 return {k: np.asarray(v) for k, v in out.items()}
-        else:
+        elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
             def tokenize(batch):
                 out = trainer.tokenize(loop.frozen["vq"], to_device_batch(batch))
                 return {k: np.asarray(v) for k, v in out.items()}

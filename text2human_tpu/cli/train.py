@@ -18,6 +18,7 @@ import threading
 import os
 import os.path as osp
 import time
+from collections import deque
 from typing import Any, Dict
 
 import jax
@@ -74,7 +75,8 @@ def _net_resolution(opt: Dict[str, Any]) -> int:
 def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
     # pre-tokenized cache (cli/tokenize.py): the frozen-tokenizer jobs train
     # straight from cached integer indices — no frozen conv forwards, no
-    # image decode (data/token_cache.py)
+    # image decode; the hierarchy GAN job pairs pixels with cached top
+    # indices to skip its frozen full-res top encoder (data/token_cache.py)
     tc = opt.get("token_cache")
     if (
         tc
@@ -83,6 +85,7 @@ def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
         in (
             "TransformerTextureAwareModel",
             "VQGANTextureAwareSpatialHierarchyInferenceModel",
+            "HierarchyVQSpatialTextureAwareModel",
         )
     ):
         meta = osp.join(tc, split, "meta.json")
@@ -96,8 +99,26 @@ def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
                 f"-opt <config> --out {tc}` (all of --splits), or remove "
                 "token_cache: to train from pixels"
             )
-        from text2human_tpu.data.token_cache import TokenDataset
+        from text2human_tpu.data.token_cache import (
+            HybridTokenDataset,
+            TokenDataset,
+        )
 
+        if opt["model_type"] == "HierarchyVQSpatialTextureAwareModel":
+            img_dir = (
+                opt["train_img_dir"] if split == "train" else opt["test_img_dir"]
+            )
+            base = DeepFashionAttrSegmDataset(
+                img_dir,
+                opt["segm_dir"],
+                opt["pose_dir"],
+                opt[f"{split}_ann_file"],
+                opt.get("downsample_factor") or 2,
+                xflip=False,  # the hybrid dataset draws + applies the flip
+            )
+            return HybridTokenDataset(
+                base, osp.join(tc, split), xflip=_train_xflip(opt, split)
+            )
         return TokenDataset(osp.join(tc, split), xflip=_train_xflip(opt, split))
     if synthetic:
         # synthetic images must match the configured network resolution
@@ -194,7 +215,9 @@ class TrainLoop:
     def init(self, first_batch):
         t, mt, key = self.trainer, self.mt, self._next_key()
         b = to_device_batch(first_batch)
-        if self._is_token_batch(b):
+        if self._is_token_batch(b) and "image" not in b:
+            # pixel-free token batch (sampler/index-pred caches); hybrid
+            # hierarchy batches carry real pixels and init from them
             b = self._dummy_pixel_batch()
         if mt == "VQSegmentationModel":
             self.state = t.init_state(key, b["segm"])
@@ -204,6 +227,17 @@ class TrainLoop:
             self.state = t.init_state(self._next_key(), gen, b["image"])
             if mt == "HierarchyVQSpatialTextureAwareModel":
                 self._load_into_gen("top_vae_path")
+                p = self.opt.get("top_vae_path")
+                if self._consuming_real_cache() and not (p and osp.exists(p)):
+                    # hybrid cached training gathers the cached top indices
+                    # against the frozen top codebook every step — with a
+                    # random-init codebook the GAN would train against
+                    # garbage top features without an error anywhere
+                    raise FileNotFoundError(
+                        "training the hierarchy job from a real token cache "
+                        "needs top_vae_path: cached top indices decode "
+                        "through the frozen top codebook every step"
+                    )
         elif mt == "TransformerTextureAwareModel":
             self._load_frozen_from(b)
             self.state = t.init_state(self._next_key())
@@ -347,7 +381,18 @@ class TrainLoop:
             )
         self.state = self.state.replace(params=params, batch_stats=batch_stats)
 
-    def step(self, batch) -> Dict[str, float]:
+    def place(self, batch) -> Dict[str, Any]:
+        """Host batch -> its final device placement (sharded under --dp).
+        Called by the device prefetcher one step ahead of ``step`` so the
+        transfer overlaps the previous step's compute; ``step``'s own
+        placement of an already-placed batch is a no-op."""
+        return self._shard(to_device_batch(batch))
+
+    def step(self, batch) -> Dict[str, Any]:
+        """One training step.  Returns the trainer's log scalars as DEVICE
+        arrays: converting them to floats here would force a host round-trip
+        every iteration, serializing the whole loop against the device (the
+        caller syncs at print boundaries instead)."""
         t, mt = self.trainer, self.mt
         b = self._shard(to_device_batch(batch))
         if mt == "VQSegmentationModel":
@@ -363,7 +408,7 @@ class TrainLoop:
             self.state, logs = t.train_step(self.state, data, self._next_key())
         elif mt == "ParsingGenModel":
             self.state, logs = t.train_step(self.state, b, self._next_key())
-        return {k: float(v) for k, v in logs.items()}
+        return logs
 
     def save_visuals(self, batch, vis_dir: str, epoch: int):
         """Side-by-side input/output grids per val epoch (the reference's
@@ -658,30 +703,56 @@ def main(argv=None):
                 f"step {current_iter}"
             )
 
+    # async pipelined inner loop: batches are device_put one step ahead
+    # (prefetch_to_device) so transfers ride under compute, step dispatch
+    # never blocks, and the host syncs on results only at print boundaries.
+    # A bounded run-ahead window keeps the dispatch queue and staged input
+    # buffers from growing without limit when the host outpaces the device.
+    from text2human_tpu.data.loader import prefetch_to_device
+
+    run_ahead = 4
+    inflight: deque = deque()
+
+    def drain_one():
+        # force one OLD step's logs to completion via a real host transfer
+        # (block_until_ready can return early on tunneled backends); steps
+        # dispatched after it keep the device busy while the host waits
+        np.asarray(next(iter(inflight.popleft().values())))
+
     # bind epoch before the loop: if start_epoch >= num_epochs (resuming an
     # already-finished run) the body never runs, and the preemption branch
     # below must still be able to write an epoch-named checkpoint
     epoch = start_epoch
+    print_freq = opt.get("print_freq") or 100
     for epoch in range(start_epoch, num_epochs):
-        for batch in loader:
+        t_last, iters_since = time.time(), 0
+        for batch in prefetch_to_device(loader, loop.place):
             lr = loop.set_lr(epoch, current_iter)
-            t0 = time.time()
             logs = loop.step(batch)
+            inflight.append(logs)
+            if len(inflight) > run_ahead:
+                drain_one()
             current_iter += 1
-            if current_iter % (opt.get("print_freq") or 100) == 0 or current_iter == 1:
+            iters_since += 1
+            if current_iter % print_freq == 0 or current_iter == 1:
+                now = time.time()
                 msg_logger(
                     {
                         "epoch": epoch,
                         "iter": current_iter,
                         "lrs": [lr],
-                        "time": time.time() - t0,
-                        **logs,
+                        # pipelined wall time per iteration over the window
+                        # (a single dispatch's time means nothing async)
+                        "time": (now - t_last) / iters_since,
+                        **{k: float(v) for k, v in logs.items()},
                     }
                 )
+                t_last, iters_since = time.time(), 0
             if args.max_iters and current_iter >= args.max_iters:
                 break
             if PREEMPTED.is_set():
                 break
+        inflight.clear()
         if (args.max_iters and current_iter >= args.max_iters) or PREEMPTED.is_set():
             break
         if (epoch + 1) % (opt.get("val_freq") or 5) == 0:

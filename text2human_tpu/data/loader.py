@@ -9,10 +9,31 @@ because PIL decode + resize release the GIL for the heavy parts.
 
 from __future__ import annotations
 
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Dict, Iterator, List, Optional, Sequence
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+
+def prefetch_to_device(
+    iterator, put: Callable[[Any], Any], depth: int = 2
+) -> Iterator[Any]:
+    """Keep ``depth`` batches placed on device ahead of the consumer.
+
+    ``put`` issues the host->device transfer (``jax.device_put`` /
+    ``jnp.asarray`` dispatch asynchronously), so batch N+1's transfer rides
+    under batch N's device compute instead of serializing after it — the
+    standard TPU input pipeline shape.  ``depth`` bounds device memory spent
+    on staged input buffers.
+    """
+    buf: deque = deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
 
 
 def collate(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:

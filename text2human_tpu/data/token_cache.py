@@ -189,14 +189,71 @@ class TokenDataset:
     def __len__(self):
         return self.n
 
-    def __getitem__(self, index: int) -> Dict[str, Any]:
-        v = random.randrange(self.variants) if self.xflip else 0
-        out: Dict[str, Any] = {
+    def fields_at(self, variant: int, index: int) -> Dict[str, np.ndarray]:
+        return {
             # int32 device-side: small index dtypes are a storage format, not
             # a compute one (gather/one_hot paths expect i32)
-            k: np.asarray(m[v, index]).astype(np.int32)
+            k: np.asarray(m[variant, index]).astype(np.int32)
             for k, m in self.fields.items()
         }
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        v = random.randrange(self.variants) if self.xflip else 0
+        out: Dict[str, Any] = self.fields_at(v, index)
         if self.fnames:
             out["img_name"] = self.fnames[index]
         return out
+
+
+class HybridTokenDataset:
+    """Pixels from ``base`` + cached frozen-path tokens, flip-synchronized.
+
+    The bottom hierarchy GAN job still needs pixels every step (bot encoder
+    input, L1/LPIPS targets, disc reals) but its frozen TOP path is a pure
+    function of the sample — this dataset pairs the pixel sample with the
+    pre-tokenized top indices so training skips the frozen full-res top
+    encoder.  The flip variant is drawn HERE and applied to both halves:
+    ``base`` must be constructed with xflip disabled (tokens of a flipped
+    image are not a flip of the tokens).
+    """
+
+    def __init__(self, base, cache_dir: str, xflip: bool = False):
+        if getattr(base, "xflip", False):
+            raise ValueError(
+                "HybridTokenDataset flips samples itself; construct the base "
+                "dataset with xflip=False"
+            )
+        self.base = base
+        self.tokens = TokenDataset(cache_dir, xflip=False)
+        self.meta = self.tokens.meta
+        if xflip and self.tokens.variants < 2:
+            raise ValueError(
+                f"xflip requested but the cache at {cache_dir} was built "
+                f"with variants={self.tokens.variants}; rebuild with "
+                "--variants 2 or set `xflip: false` in the training YAML"
+            )
+        self.xflip = xflip
+        if len(base) != len(self.tokens):
+            raise ValueError(
+                f"token cache at {cache_dir} holds {len(self.tokens)} samples "
+                f"but the pixel dataset has {len(base)}; rebuild the cache "
+                "from the same annotation file"
+            )
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        v = random.randrange(self.tokens.variants) if self.xflip else 0
+        sample = self.base[index]
+        name = sample.get("img_name")
+        if self.tokens.fnames and name is not None:
+            cached = self.tokens.fnames[index]
+            if str(name) != str(cached):
+                raise ValueError(
+                    f"token cache misaligned at index {index}: cache was "
+                    f"built from {cached!r}, pixel dataset yields {name!r}"
+                )
+        sample = flip_sample(sample) if v == 1 else dict(sample)
+        sample.update(self.tokens.fields_at(v, index))
+        return sample

@@ -239,6 +239,28 @@ class HierarchyVQ(nn.Module):
         return_pre_out: bool = False,
     ):
         quant_top = self.top_encode(x, texture_mask)
+        return self._decode_with_bot(quant_top, x, texture_mask, return_pre_out)
+
+    def forward_with_top(
+        self,
+        x: jax.Array,
+        texture_mask: jax.Array,
+        top_local: jax.Array,
+        top_cb: jax.Array,
+        *,
+        return_pre_out: bool = False,
+    ):
+        """``__call__`` with the frozen top path replaced by cached integer
+        indices (data/token_cache.py hybrid hierarchy cache): a codebook
+        gather + the 1x1 post-quant conv reproduce ``top_encode``'s feature
+        exactly (forward z_q values ARE codebook rows), skipping the frozen
+        full-resolution top encoder every training step."""
+        quant_top = jax.lax.stop_gradient(
+            self.top_feature_from_indices(top_local, top_cb.astype(jnp.float32))
+        )
+        return self._decode_with_bot(quant_top, x, texture_mask, return_pre_out)
+
+    def _decode_with_bot(self, quant_top, x, texture_mask, return_pre_out):
         bot_h, emb_loss, _ = self.bot_encode(x, texture_mask)
         if return_pre_out:
             dec, pre = self.decoder(quant_top, bot_h, return_pre_out=True)

@@ -74,6 +74,11 @@ class GANTrainer:
     # tracks the lowest validation loss)
     val_metric = ("nll_loss", "min")
 
+    # batch keys forwarded positionally to ae_apply when present (subclasses
+    # set this to consume cached auxiliary inputs, e.g. the hierarchy job's
+    # pre-tokenized frozen-top indices); a pixel-only batch simply omits them
+    ae_extra_keys: Tuple[str, ...] = ()
+
     def __init__(
         self,
         ae_apply: Callable,
@@ -119,7 +124,8 @@ class GANTrainer:
         return node
 
     def gen_grads_and_metrics(
-        self, gen_params, disc_params, disc_stats, step, x, mask, aug_key
+        self, gen_params, disc_params, disc_stats, step, x, mask, aug_key,
+        extras=(),
     ):
         """Generator gradients + metrics for one batch.
 
@@ -135,7 +141,7 @@ class GANTrainer:
         """
         cfg = self.cfg
         xrec_tuple, ae_vjp = jax.vjp(
-            lambda p: self.ae_apply(p, x, mask), gen_params
+            lambda p: self.ae_apply(p, x, mask, *extras), gen_params
         )
         xrec, qloss, a_pre = xrec_tuple
 
@@ -221,9 +227,10 @@ class GANTrainer:
             return out, updates["batch_stats"]
 
         # ----- generator step -----
+        extras = tuple(batch[k] for k in self.ae_extra_keys if k in batch)
         gen_grads, metrics, xrec = self.gen_grads_and_metrics(
             state.params["gen"], disc_params, disc_stats, state.step, x, mask,
-            aug_key,
+            aug_key, extras,
         )
 
         # ----- discriminator step (branch-free gate) -----
@@ -279,7 +286,8 @@ class GANTrainer:
     def _eval_loss_impl(self, gen_params, batch) -> Dict[str, jax.Array]:
         x = batch["image"]
         mask = batch.get("texture_mask")
-        xrec, _, _ = self.ae_apply(gen_params, x, mask)
+        extras = tuple(batch[k] for k in self.ae_extra_keys if k in batch)
+        xrec, _, _ = self.ae_apply(gen_params, x, mask, *extras)
         recon = jnp.abs(x - xrec)
         p = self.lpips.apply(self.lpips_vars, x, xrec)
         nll = jnp.mean(recon + self.cfg.perceptual_weight * p)

@@ -56,6 +56,10 @@ def hierarchy_trainable_mask(params: Any, fix_decoder: bool) -> Any:
 
 
 class HierarchyVQGANTrainer(GANTrainer):
+    # hybrid token-cache batches (data/token_cache.py HybridTokenDataset)
+    # carry the frozen top path's cached integer indices alongside the pixels
+    ae_extra_keys = ("top_local", "top_cb")
+
     def __init__(
         self,
         top_cfg: VQGANConfig,
@@ -78,8 +82,17 @@ class HierarchyVQGANTrainer(GANTrainer):
                 jnp.zeros((1, 32, 32, 3)),
             )
 
-        def ae_apply(params, x, mask):
-            return self.model.apply({"params": params}, x, mask, return_pre_out=True)
+        def ae_apply(params, x, mask, top_local=None, top_cb=None):
+            if top_local is None:
+                return self.model.apply(
+                    {"params": params}, x, mask, return_pre_out=True
+                )
+            # hybrid token-cache path: the frozen full-res top encoder is
+            # replaced by an exact codebook gather of the cached indices
+            return self.model.apply(
+                {"params": params}, x, mask, top_local, top_cb,
+                return_pre_out=True, method=HierarchyVQ.forward_with_top,
+            )
 
         if init_params is None:
             x = jnp.zeros(sample_shape)
@@ -99,3 +112,22 @@ class HierarchyVQGANTrainer(GANTrainer):
 
     def init_gen_params(self, key, sample_image, sample_mask):
         return self.model.init(key, sample_image, sample_mask)["params"]
+
+    def _tokenize_impl(self, top_params, batch):
+        """Frozen top path -> integer indices for hybrid cache builds
+        (cli/tokenize.py).  ``top_params`` needs only the top_encoder /
+        top_quant_conv / top_quantize subtrees (flax pulls params lazily
+        per method)."""
+        out = self.model.apply(
+            {"params": top_params}, batch["image"], batch["texture_mask"],
+            method=HierarchyVQ.top_indices,
+        )
+        return {
+            "top_local": out.indices.astype(jnp.int32),
+            "top_cb": out.cb_ids.astype(jnp.int32),
+        }
+
+    def tokenize(self, top_params, batch):
+        if not hasattr(self, "_tokenize"):
+            self._tokenize = jax.jit(self._tokenize_impl)
+        return self._tokenize(top_params, batch)
