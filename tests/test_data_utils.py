@@ -347,3 +347,30 @@ def test_transformers_encoder_path(tmp_path):
     assert len(attrs) == 15
     assert attrs[0] == 1  # 'lady' sets the gender attr lexically
     assert all(isinstance(a, int) for a in attrs)
+
+
+def test_prefetch_to_device_overlap_and_order():
+    """prefetch_to_device must place `depth` batches ahead of the consumer
+    (so transfers ride under compute) while preserving order and yielding
+    every batch exactly once — including short iterators and tails."""
+    from text2human_tpu.data.loader import prefetch_to_device
+
+    events = []
+
+    def put(x):
+        events.append(("put", x))
+        return x * 10
+
+    out = []
+    for v in prefetch_to_device(iter(range(5)), put, depth=2):
+        events.append(("yield", v))
+        out.append(v)
+    assert out == [0, 10, 20, 30, 40]
+    # batch 1 was put BEFORE batch 0 was yielded (one-ahead placement)
+    assert events.index(("put", 1)) < events.index(("yield", 0))
+    # run-ahead is bounded: batch 3 is put only after batch 0 is consumed
+    assert events.index(("put", 3)) > events.index(("yield", 0))
+
+    # iterators shorter than the prefetch depth drain cleanly
+    assert list(prefetch_to_device(iter([7]), put, depth=3)) == [70]
+    assert list(prefetch_to_device(iter([]), put, depth=2)) == []
