@@ -533,3 +533,57 @@ class TestHierarchyTokenizeCLI:
                 "-opt", "configs/debug/vqvae_bottom_debug.yml",
                 "--out", str(tmp_path / "x"),
             ])
+
+
+class TestCheckpointFingerprint:
+    """Cached indices gathered against a DIFFERENT checkpoint than the cache
+    was built from must fail loudly (cli/train.py:_check_cache_checkpoints)."""
+
+    def test_mismatched_checkpoint_rejected(self, tmp_path):
+        from text2human_tpu.cli.builders import build_trainer
+        from text2human_tpu.cli.train import TrainLoop
+        from text2human_tpu.config import parse
+        from text2human_tpu.data.token_cache import checkpoint_fingerprint
+
+        ckpt = tmp_path / "top.pth"
+        ckpt.write_bytes(b"original checkpoint bytes")
+        fp = checkpoint_fingerprint(str(ckpt))
+
+        opt = parse("configs/debug/vqvae_bottom_debug.yml", is_train=True)
+        opt["top_vae_path"] = str(ckpt)
+        loop = TrainLoop(
+            opt, build_trainer(opt), synthetic=False,
+            token_meta={"synthetic": False,
+                        "checkpoints": {"top_vae_path": fp}},
+        )
+        loop._check_cache_checkpoints()  # same bytes: fine
+
+        ckpt.write_bytes(b"re-exported, different weights")
+        with pytest.raises(ValueError, match="different top_vae_path"):
+            loop._check_cache_checkpoints()
+
+    def test_legacy_cache_without_fingerprints_accepted(self):
+        from text2human_tpu.cli.builders import build_trainer
+        from text2human_tpu.cli.train import TrainLoop
+        from text2human_tpu.config import parse
+
+        opt = parse("configs/debug/vqvae_bottom_debug.yml", is_train=True)
+        loop = TrainLoop(
+            opt, build_trainer(opt), synthetic=False,
+            token_meta={"synthetic": False},
+        )
+        loop._check_cache_checkpoints()  # no 'checkpoints' key: no-op
+
+    def test_fingerprint_detects_tail_edits(self, tmp_path):
+        """Multi-MiB files hash head+tail: an edit past the first MiB (e.g.
+        fine-tuned weights, same header) must still change the fingerprint."""
+        from text2human_tpu.data.token_cache import checkpoint_fingerprint
+
+        big = tmp_path / "big.pth"
+        data = bytearray(3 << 20)
+        big.write_bytes(data)
+        fp1 = checkpoint_fingerprint(str(big))
+        data[-5] = 7  # tail edit, same size
+        big.write_bytes(data)
+        fp2 = checkpoint_fingerprint(str(big))
+        assert fp1 != fp2

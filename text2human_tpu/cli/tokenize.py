@@ -129,7 +129,10 @@ def main(argv=None):
                 )
 
             def tokenize(batch):
-                out = trainer.tokenize(top_params, to_device_batch(batch))
+                # ship only what top_indices reads (densepose/segm/attr are
+                # comparable in size to the image — dead transfer weight)
+                used = {k: batch[k] for k in ("image", "texture_mask")}
+                out = trainer.tokenize(top_params, to_device_batch(used))
                 return {k: np.asarray(v) for k, v in out.items()}
         elif not loop.frozen:  # frozen params load once, from the first
             # split; the build never touches trainable state, so skip
@@ -165,6 +168,8 @@ def main(argv=None):
                     f"({rate:.1f}/s, eta {(total - done) / max(rate, 1e-9):.0f}s)"
                 )
 
+        from text2human_tpu.data.token_cache import checkpoint_fingerprint
+
         meta = build_token_cache(
             out_dir,
             ds,
@@ -179,6 +184,13 @@ def main(argv=None):
                 # a real-checkpoint cache must never be trained against
                 # random-init codebooks (cli/train.py:_consuming_real_cache)
                 "synthetic": bool(args.synthetic),
+                # ...nor against a DIFFERENT checkpoint than the cache was
+                # built from (cli/train.py:_check_cache_checkpoints)
+                "checkpoints": {} if args.synthetic else {
+                    k: {"path": osp.abspath(opt[k]),
+                        **checkpoint_fingerprint(opt[k])}
+                    for k in needed_ckpts[mt]
+                },
             },
             progress=progress,
         )

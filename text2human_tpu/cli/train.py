@@ -214,6 +214,7 @@ class TrainLoop:
 
     def init(self, first_batch):
         t, mt, key = self.trainer, self.mt, self._next_key()
+        self._check_cache_checkpoints()
         b = to_device_batch(first_batch)
         if self._is_token_batch(b) and "image" not in b:
             # pixel-free token batch (sampler/index-pred caches); hybrid
@@ -284,6 +285,30 @@ class TrainLoop:
             )
         else:
             raise ValueError(f"{mt} has no frozen tokenizers")
+
+    def _check_cache_checkpoints(self):
+        """Cached indices must be gathered against the SAME frozen
+        checkpoints the cache was built from — a re-exported/replaced
+        checkpoint would silently train on garbage features.  Compares the
+        fingerprints the build recorded (caches from before the key are
+        accepted, matching the 'synthetic' flag's back-compat)."""
+        if not self._consuming_real_cache():
+            return
+        recorded = self.token_meta.get("checkpoints") or {}
+        from text2human_tpu.data.token_cache import checkpoint_fingerprint
+
+        for key, rec in recorded.items():
+            path = self.opt.get(key)
+            if not (path and osp.exists(path)):
+                continue  # the per-job existence guards handle missing paths
+            actual = checkpoint_fingerprint(path)
+            if any(rec.get(k) != v for k, v in actual.items()):
+                raise ValueError(
+                    f"token cache was built from a different {key} than the "
+                    f"configured {path} (recorded {rec.get('sha256', '?')[:12]}, "
+                    f"actual {actual['sha256'][:12]}); rebuild the cache with "
+                    "cli/tokenize.py or restore the original checkpoint"
+                )
 
     def _consuming_real_cache(self) -> bool:
         """True when this loop trains from a token cache that was built with
@@ -735,6 +760,11 @@ def main(argv=None):
             current_iter += 1
             iters_since += 1
             if current_iter % print_freq == 0 or current_iter == 1:
+                # sync BEFORE reading the clock: the float conversion drains
+                # the in-flight queue up to this step, and that wait belongs
+                # to the window being reported (otherwise 'time' would be
+                # optimistic by up to run_ahead/print_freq)
+                synced = {k: float(v) for k, v in logs.items()}
                 now = time.time()
                 msg_logger(
                     {
@@ -744,10 +774,10 @@ def main(argv=None):
                         # pipelined wall time per iteration over the window
                         # (a single dispatch's time means nothing async)
                         "time": (now - t_last) / iters_since,
-                        **{k: float(v) for k, v in logs.items()},
+                        **synced,
                     }
                 )
-                t_last, iters_since = time.time(), 0
+                t_last, iters_since = now, 0
             if args.max_iters and current_iter >= args.max_iters:
                 break
             if PREEMPTED.is_set():

@@ -19,7 +19,9 @@ import numpy as np
 def prefetch_to_device(
     iterator, put: Callable[[Any], Any], depth: int = 2
 ) -> Iterator[Any]:
-    """Keep ``depth`` batches placed on device ahead of the consumer.
+    """Stage up to ``depth - 1`` batches on device ahead of the one being
+    consumed (``depth`` batches are placed in total, including the yielded
+    one).
 
     ``put`` issues the host->device transfer (``jax.device_put`` /
     ``jnp.asarray`` dispatch asynchronously), so batch N+1's transfer rides

@@ -21,6 +21,7 @@ shaped ``[variants, num_samples, *field_shape]``.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import os.path as osp
@@ -28,6 +29,25 @@ import random
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
+
+
+def checkpoint_fingerprint(path: str) -> Dict[str, Any]:
+    """Content fingerprint of a frozen-tokenizer checkpoint: size + sha256
+    of the first and last MiB (hashing multi-GB files whole would slow every
+    training start; head+tail+size catches any real re-export).
+
+    Cache builds record this per required checkpoint; training compares it
+    so cached indices are never gathered against a codebook from a
+    DIFFERENT checkpoint than the one that produced them — that trains on
+    garbage top features with no error anywhere."""
+    h = hashlib.sha256()
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        h.update(f.read(1 << 20))
+        if size > (2 << 20):
+            f.seek(-(1 << 20), 2)
+            h.update(f.read(1 << 20))
+    return {"size": size, "sha256": h.hexdigest()}
 
 # spatial sample keys that flip horizontally (axis 1 of HW(C) arrays)
 FLIP_KEYS = ("image", "densepose", "segm", "texture_mask")
@@ -224,14 +244,10 @@ class HybridTokenDataset:
                 "dataset with xflip=False"
             )
         self.base = base
-        self.tokens = TokenDataset(cache_dir, xflip=False)
+        # xflip passed through for its variants>=2 validation; the hybrid
+        # draws the variant itself (fields_at) so both halves stay in sync
+        self.tokens = TokenDataset(cache_dir, xflip=xflip)
         self.meta = self.tokens.meta
-        if xflip and self.tokens.variants < 2:
-            raise ValueError(
-                f"xflip requested but the cache at {cache_dir} was built "
-                f"with variants={self.tokens.variants}; rebuild with "
-                "--variants 2 or set `xflip: false` in the training YAML"
-            )
         self.xflip = xflip
         if len(base) != len(self.tokens):
             raise ValueError(

@@ -123,6 +123,18 @@ class GANTrainer:
             node = node[k]
         return node
 
+    def _ae_extras(self, batch) -> Tuple:
+        """Extra ae_apply inputs from the batch — all of ``ae_extra_keys``
+        or none (a partial set would mis-bind positionally and crash with an
+        opaque error deep inside the jitted step)."""
+        present = [k for k in self.ae_extra_keys if k in batch]
+        if present and len(present) != len(self.ae_extra_keys):
+            raise ValueError(
+                f"cache fields incomplete: batch has {present} but the "
+                f"trainer needs all of {list(self.ae_extra_keys)}"
+            )
+        return tuple(batch[k] for k in self.ae_extra_keys) if present else ()
+
     def gen_grads_and_metrics(
         self, gen_params, disc_params, disc_stats, step, x, mask, aug_key,
         extras=(),
@@ -227,7 +239,7 @@ class GANTrainer:
             return out, updates["batch_stats"]
 
         # ----- generator step -----
-        extras = tuple(batch[k] for k in self.ae_extra_keys if k in batch)
+        extras = self._ae_extras(batch)
         gen_grads, metrics, xrec = self.gen_grads_and_metrics(
             state.params["gen"], disc_params, disc_stats, state.step, x, mask,
             aug_key, extras,
@@ -286,7 +298,7 @@ class GANTrainer:
     def _eval_loss_impl(self, gen_params, batch) -> Dict[str, jax.Array]:
         x = batch["image"]
         mask = batch.get("texture_mask")
-        extras = tuple(batch[k] for k in self.ae_extra_keys if k in batch)
+        extras = self._ae_extras(batch)
         xrec, _, _ = self.ae_apply(gen_params, x, mask, *extras)
         recon = jnp.abs(x - xrec)
         p = self.lpips.apply(self.lpips_vars, x, xrec)
