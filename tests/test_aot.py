@@ -151,3 +151,57 @@ def test_aot_backend_mismatch_refused(tmp_path):
         pickle.dump(payload, f)
     with pytest.raises(ValueError, match="built for tpu"):
         aot.load_serving(pipe, path)
+
+
+def test_aot_jax_version_mismatch_falls_back(tmp_path, caplog):
+    """A serialized executable is coupled to the jax runtime that built it:
+    a version mismatch must raise a clear ValueError from load_serving, and
+    maybe_load_serving must fall back to jit (boot must not fail) with a
+    warning instead of dying on an opaque unpickle error."""
+    import logging
+    import pickle
+
+    from text2human_tpu.pipelines import aot
+
+    pipe, res = _tiny_pose_pipe()
+    params = _pose_params(pipe, res)
+    path = str(tmp_path / "aot.pkl")
+    aot.export_serving(pipe, params, path, batch_sizes=(1,))
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    payload["jaxlib"] = "0.0.1"
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.raises(ValueError, match="jax 0.0.1"):
+        aot.load_serving(pipe, path)
+    with caplog.at_level(logging.WARNING, logger="base"):
+        assert aot.maybe_load_serving(pipe, path) == 0
+    assert any("falls back to jit" in r.message for r in caplog.records)
+
+
+def test_aot_autoregressive_keys_match_serving_dispatch(tmp_path):
+    """AR pipelines normalize the static sample_steps arg to 0 at serve time
+    (sample_indices); the export must key the _sample blob the same way or
+    the pre-built sampler would never be dispatched."""
+    import pickle
+
+    from test_pipeline import CFGS
+    from text2human_tpu.pipelines.sample import SamplePipeline
+
+    cfgs = dataclasses.replace(
+        CFGS,
+        transformer=dataclasses.replace(CFGS.transformer,
+                                        sampler="autoregressive"),
+    )
+    pipe = SamplePipeline(cfgs)
+    from test_pipeline import _init_params
+
+    params = _init_params(pipe, np.random.default_rng(0))
+    path = str(tmp_path / "aot_ar.pkl")
+
+    from text2human_tpu.pipelines import aot
+
+    aot.export_serving(pipe, params, path, batch_sizes=(1,), with_pose=False)
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    assert list(payload["blobs"]["_sample"]) == [(1, 0)]

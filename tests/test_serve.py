@@ -7,6 +7,7 @@ import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+import pytest
 
 from text2human_tpu.cli.serve import build_server
 from text2human_tpu.config import parse
@@ -297,3 +298,52 @@ def test_choose_pad_size():
     assert choose_pad_size(1, 4) == 4   # small == max: one program
     assert choose_pad_size(1, 1) == 1
     assert choose_pad_size(2, 2) == 2
+
+
+def test_dynamic_batcher_group_key_failure_isolated():
+    """A raising group_key must fail THAT request, not kill the worker
+    thread (which would leave every later future hanging forever)."""
+    def run(items):
+        return [x * 2 for x in items]
+
+    def key(item):
+        if item == "bad":
+            raise KeyError("missing field")
+        return None
+
+    b = DynamicBatcher(run, max_batch=2, window_ms=5, group_key=key)
+    with pytest.raises(KeyError):
+        b.submit("bad", timeout=30)
+    # the worker survived and keeps serving
+    assert b.submit(21, timeout=30) == 42
+
+
+def test_dynamic_batcher_sheds_timed_out_requests():
+    """A submit() that timed out is cancelled; the worker must skip it
+    instead of burning a TPU batch on a result nobody will read."""
+    import threading
+    import time as _time
+
+    started = threading.Event()
+    release = threading.Event()
+    ran = []
+
+    def run(items):
+        ran.append(list(items))
+        started.set()
+        release.wait(30)
+        return list(items)
+
+    b = DynamicBatcher(run, max_batch=1, window_ms=1)
+    with ThreadPoolExecutor(2) as ex:
+        first = ex.submit(b.submit, "live", 30)
+        assert started.wait(10)  # worker is now blocked inside run_batch
+        with pytest.raises(TimeoutError):
+            b.submit("abandoned", timeout=0.05)  # times out + cancels
+        release.set()
+        assert first.result(30) == "live"
+        # give the worker a moment to drain the abandoned entry
+        deadline = _time.time() + 5
+        while _time.time() < deadline and b.submit("after", 30) != "after":
+            pass
+    assert ["abandoned"] not in ran  # shed, never executed

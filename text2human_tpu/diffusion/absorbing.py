@@ -63,10 +63,11 @@ def sample_time_importance(
     buffers it never registers or updates (vestigial code inherited from
     unleashing-transformers); this is the working mechanism from that
     lineage: an EMA history of squared per-t vb-losses, with
-    ``pt ∝ sqrt(E[L_t^2]) + 1e-4`` once every timestep has >= 10
-    observations and uniform sampling before.  t stays in [1, T] (the
-    reference's index-0 "decoder term" is excluded — the train loss divides
-    by t), implemented branch-free for jit.
+    ``pt ∝ sqrt(E[L_t^2]) + 1e-4`` once every timestep has > 10
+    observations (strictly more, matching the lineage's ``Lt_count > 10``)
+    and uniform sampling before.  t stays in [1, T] (the reference's
+    index-0 "decoder term" is excluded — the train loss divides by t),
+    implemented branch-free for jit.
     """
     lt_history = imp_state["lt_history"]
     lt_count = imp_state["lt_count"]
@@ -86,7 +87,18 @@ def sample_time_importance(
 
 
 def update_importance_state(imp_state: dict, t: jax.Array, vb_per_sample: jax.Array) -> dict:
-    """EMA the squared vb-loss into the per-t history and bump the counts."""
+    """EMA the squared vb-loss into the per-t history and bump the counts.
+
+    Two lineage-faithful quirks (unleashing-transformers' update, which the
+    reference inherited the read side of), kept deliberately so training
+    semantics match the established method rather than a 'corrected' one:
+      * ``vb_per_sample`` is the importance-WEIGHTED vb (ce/t/pt), so after
+        the ready-gate flips the fixed point is pt ∝ E[L_t^2]^(1/4) rather
+        than sqrt — the elbo estimator stays unbiased either way;
+      * duplicate timesteps in a batch keep one arbitrary update
+        (scatter-set semantics, same as torch ``scatter_``) while the count
+        increments for each duplicate.
+    """
     lt2 = jax.lax.stop_gradient(vb_per_sample.astype(jnp.float32)) ** 2
     hist = imp_state["lt_history"]
     new_hist = hist.at[t].set(0.1 * lt2 + 0.9 * hist[t])

@@ -10,9 +10,12 @@ the serving batch tiers and serializes the executables
 `load_serving` swaps them into the pipeline so the first request runs a
 pre-built program — no tracing, no lowering, no cache machinery.
 
-The artifact is backend-specific (same jaxlib + same TPU generation), like
-any compiled binary.  Shapes not covered by the export transparently fall
-back to the pipeline's normal jit path.
+The artifact is backend-specific (same jax version + same TPU generation),
+like any compiled binary.  Shapes not covered by the export transparently
+fall back to the pipeline's normal jit path.  SECURITY: the artifact is a
+pickle (jax's serialize_executable is pickle-based) — loading it executes
+code, so only load artifacts you built; treat the file like you treat the
+serving binary itself.
 
     # build once (e.g. in CI or at deploy-image build time)
     python -m text2human_tpu.cli.serve -opt ... --prime-cache --aot aot.pkl
@@ -92,7 +95,13 @@ def export_serving(
     """
     from jax.experimental.serialize_executable import serialize
 
-    steps = int(sample_steps) or int(pipe.cfgs.sample_steps)
+    if pipe.cfgs.transformer.sampler == "autoregressive":
+        # sample_indices normalizes the static step arg to 0 in AR mode (the
+        # decode ignores it); the blob must be keyed the same way or serving
+        # would never dispatch the pre-built sampler
+        steps = 0
+    else:
+        steps = int(sample_steps) or int(pipe.cfgs.sample_steps)
     blobs: Dict[str, Dict[Tuple, Any]] = {}
     for b in batch_sizes:
         for stage, dkey, args in _stage_specs(pipe, params, b, steps, with_pose):
@@ -110,6 +119,8 @@ def export_serving(
             )
     payload = {
         "version": FORMAT_VERSION,
+        # the jax version (key name kept for artifact back-compat): a
+        # serialized executable is coupled to the runtime that built it
         "jaxlib": jax.__version__,
         "platform": jax.devices()[0].platform,
         "device_kind": jax.devices()[0].device_kind,
@@ -136,6 +147,14 @@ def load_serving(pipe, path: str) -> int:
         payload = pickle.load(f)
     if payload.get("version") != FORMAT_VERSION:
         raise ValueError(f"unsupported AOT artifact version {payload.get('version')}")
+    if payload.get("jaxlib") != jax.__version__:
+        # deserialize_and_load unpickles version-coupled pytree defs and an
+        # executable built by that runtime — a mismatch fails with an opaque
+        # unpickle/XLA error (or loads an incompatible program); check first
+        raise ValueError(
+            f"AOT artifact built with jax {payload.get('jaxlib')}, running "
+            f"jax {jax.__version__}; re-export with --prime-cache"
+        )
     dev = jax.devices()[0]
     if payload["platform"] != dev.platform or (
         payload["device_kind"] != dev.device_kind
@@ -190,8 +209,19 @@ def load_serving(pipe, path: str) -> int:
 
 
 def maybe_load_serving(pipe, path: Optional[str]) -> int:
-    """load_serving if the artifact exists; 0 otherwise (boot must not fail
-    because the first deployment hasn't exported yet)."""
+    """load_serving if the artifact exists and loads; 0 otherwise.  Boot must
+    not fail because the first deployment hasn't exported yet — or because
+    the artifact is stale (jax upgrade, different TPU generation): the jit
+    path always works, so log and fall back instead of dying."""
     if not path or not os.path.exists(path):
         return 0
-    return load_serving(pipe, path)
+    try:
+        return load_serving(pipe, path)
+    except Exception as e:
+        import logging
+
+        logging.getLogger("base").warning(
+            f"AOT artifact {path} not loaded ({e}); serving falls back to "
+            "jit + persistent cache — re-export with --prime-cache"
+        )
+        return 0

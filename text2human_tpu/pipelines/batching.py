@@ -64,12 +64,20 @@ class DynamicBatcher:
 
     def submit(self, item: Any, timeout: float = None) -> Any:
         """Enqueue one request and block until its result is ready (at most
-        ``timeout`` seconds, defaulting to the constructor's deadline)."""
+        ``timeout`` seconds, defaulting to the constructor's deadline).
+
+        A timed-out request is cancelled: the worker skips futures that no
+        longer have a reader, so overload sheds abandoned work instead of
+        burning whole TPU batches on results nobody will read."""
         fut: Future = Future()
         self._queue.put((item, fut))
-        return fut.result(
-            timeout=self.result_timeout_s if timeout is None else timeout
-        )
+        try:
+            return fut.result(
+                timeout=self.result_timeout_s if timeout is None else timeout
+            )
+        except TimeoutError:
+            fut.cancel()  # no-op if the worker already started running it
+            raise
 
     # -- worker ---------------------------------------------------------
 
@@ -90,10 +98,22 @@ class DynamicBatcher:
     def _loop(self):
         while True:
             pending = self._collect()
-            # group by static-shape key; each group is one TPU program call
+            # group by static-shape key; each group is one TPU program call.
+            # group_key runs inside the per-item guard: a raising or
+            # unhashable key must fail THAT request, not kill the worker
+            # thread (which would leave every future hanging forever)
             groups: Dict[Any, List] = {}
             for item, fut in pending:
-                groups.setdefault(self.group_key(item), []).append((item, fut))
+                # claim the future: skips requests whose submit() already
+                # timed out and cancelled (shed abandoned work)
+                if not fut.set_running_or_notify_cancel():
+                    continue
+                try:
+                    groups.setdefault(self.group_key(item), []).append(
+                        (item, fut)
+                    )
+                except Exception as e:
+                    fut.set_exception(e)
             for members in groups.values():
                 self.total_batches += 1
                 self.total_requests += len(members)
