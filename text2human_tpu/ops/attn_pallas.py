@@ -216,7 +216,19 @@ def _head_partition(n_head: int, n_in: int, n_out: int, local_fn):
         c_ax = spec[2] if len(spec) > 2 else None
         c_shards = axis_count(mesh, c_ax)
         if n_head % c_shards != 0:
-            c_ax, c_shards = None, 1  # reshard to whole heads per device
+            # reshard to whole heads per device: every device computes ALL
+            # heads on its local batch (tp attention parallelism is lost,
+            # plus per-layer gathers).  Compile-time path, so warn once —
+            # this is silent-performance-cliff territory for custom YAMLs
+            # whose head count doesn't divide the tp axis.
+            import logging
+
+            logging.getLogger("base").warning(
+                f"fused attention: {n_head} heads not divisible by "
+                f"{c_shards} '{c_ax}' shards; replicating heads per device "
+                "(tp does not parallelize attention for this config)"
+            )
+            c_ax, c_shards = None, 1
         ns = NamedSharding(mesh, P(b_ax, None, c_ax))
         local_heads = n_head // c_shards
 

@@ -178,11 +178,12 @@ class SamplePipeline:
         # same math, 18x fewer head-stage FLOPs than the masked accumulation
         self.ragged_heads = ragged_heads
         # multi-chip serving: with a dp-only mesh, the denoiser trunk runs
-        # under shard_map with the batch split on ``dp_axis`` — required for
-        # the Pallas attention kernel (XLA cannot partition a custom call by
-        # itself) and keeps the ragged-head sort device-local.  The scan
-        # state/randomness stays global-shaped, so results are bit-identical
-        # to the single-device path (batch must divide the dp axis size).
+        # under shard_map with the batch split on ``dp_axis`` — keeping the
+        # ragged-head sort device-local and the scan state/randomness
+        # global-shaped, so results are bit-identical to the single-device
+        # path (batch must divide the dp axis size).  The Pallas kernel
+        # itself no longer needs shard_map — it carries its own
+        # custom_partitioning rule (see the tp paragraph below).
         #
         # With tp > 1 in the mesh, dp-only shard_map does not apply: the
         # serving layout is jit sharding propagation (shard the sampler
