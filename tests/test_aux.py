@@ -155,3 +155,30 @@ def test_evaluate_cli_fid(tmp_path, rng, capsys):
     assert v_diff > v_same >= 0.0
     out = capsys.readouterr().out
     assert "Frechet distance" in out and "NOT standard FID" in out
+
+
+def test_latest_checkpoint_preserves_zero_padded_names(tmp_path):
+    """'0005' must resolve to the directory that exists, not str(int) of it."""
+    from text2human_tpu.utils.checkpoint import latest_checkpoint
+
+    root = tmp_path / "m"
+    (root / "0005").mkdir(parents=True)
+    (root / "0010").mkdir()
+    assert latest_checkpoint(str(root)).endswith("0010")
+
+
+def test_npz_fallback_roundtrip_and_discovery(tmp_path, monkeypatch):
+    """Without orbax, the npz fallback must be loadable and discoverable —
+    otherwise --resume silently restarts from scratch while every epoch
+    'checkpointed' successfully."""
+    from text2human_tpu.utils import checkpoint as ck
+
+    monkeypatch.setattr(ck, "_HAVE_ORBAX", False)
+    tree = {"params": {"w": jnp.arange(4.0)}, "step": jnp.int32(9)}
+    path = str(tmp_path / "m" / "7")
+    ck.save_checkpoint(path, tree)
+    found = ck.latest_checkpoint(str(tmp_path / "m"))
+    assert found is not None and found.endswith("7.npz")
+    restored = ck.load_checkpoint(found, target=tree)
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(4.0))
+    assert int(restored["step"]) == 9

@@ -163,3 +163,43 @@ def test_pose_i_from_iuv_matches_reference_semantics(rng):
     np.testing.assert_array_equal(
         pose_i_from_iuv(iuv, (64, 32)), iuv[:, :, 2].astype(np.float32)
     )
+
+
+def test_paint_clamps_offcanvas_coordinates():
+    """Negative or out-of-range stroke centers must clamp, never wrap: a
+    negative slice stop would paint most of the map (serve.py passes client
+    JSON coordinates straight through)."""
+    sess = InteractiveSession.__new__(InteractiveSession)
+    sess._history = []
+    sess.segm = np.zeros((16, 8), np.int64)
+    before = sess.segm.copy()
+
+    # entirely off-canvas strokes are no-ops (but still undoable calls)
+    for y, x in [(-5, 4), (4, -5), (100, 4), (4, 100), (-100, -100)]:
+        sess.paint(3, [(y, x)], brush=3)
+    np.testing.assert_array_equal(sess.segm, before)
+
+    # a stroke straddling the edge paints only the in-range part
+    sess.paint(5, [(0, 0)], brush=3)
+    assert (sess.segm == 5).sum() == 4  # 2x2 corner, not 3x3
+    while sess.undo():
+        pass
+    np.testing.assert_array_equal(sess.segm, before)
+
+
+def test_undo_history_is_rect_patches():
+    """Undo stores touched rectangles, not full map copies — a long session
+    must not retain O(H*W) per stroke."""
+    sess = InteractiveSession.__new__(InteractiveSession)
+    sess._history = []
+    sess.segm = np.zeros((512, 256), np.int64)
+    sess.paint(5, [(10, 10)], brush=3)
+    kind, payload = sess._history[-1]
+    assert kind == "patches"
+    stored = sum(p[4].size for p in payload)
+    assert stored <= 9  # brush area, not 512*256
+
+    # overlapping rects in ONE stroke still undo exactly
+    sess.paint(7, [(20, 20), (21, 21), (20, 20)], brush=5)
+    assert sess.undo()
+    assert (sess.segm == 7).sum() == 0 and (sess.segm == 5).sum() == 9

@@ -65,3 +65,41 @@ def test_vq_impl_auto_dispatch(monkeypatch):
         assert Q._use_pallas() is False
     finally:
         Q.set_vq_impl(prev)
+
+
+def test_pallas_vq_multi_chunk_grid(rng):
+    """Production-geometry chunking: k=18, n_e=128 -> total 2304, chunk 768,
+    THREE grid steps over the codebook — exercising the scratch init and the
+    cross-chunk running-min/strict-less accumulation that single-chunk
+    geometries (total <= 1024) never reach, plus first-index tie-breaking
+    ACROSS chunk boundaries."""
+    from text2human_tpu.ops.vq_pallas import pick_chunk
+
+    k, n_e, d = 18, 128, 16
+    assert pick_chunk(k * n_e) not in (None, k * n_e)  # really multi-chunk
+    z = rng.standard_normal((260, d)).astype(np.float32)
+    books = rng.standard_normal((k, n_e, d)).astype(np.float32)
+    cb = rng.integers(0, k, 260).astype(np.int32)
+    want = np.asarray(
+        masked_nearest_indices_xla(jnp.asarray(z), jnp.asarray(books), jnp.asarray(cb))
+    )
+    got = np.asarray(
+        masked_nearest_indices_pallas(
+            jnp.asarray(z), jnp.asarray(books), jnp.asarray(cb), interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # duplicate best entries in different CHUNKS of the same codebook: the
+    # earlier chunk's index must win (strict-less accumulation)
+    books2 = np.ones((k, n_e, d), np.float32)
+    books2[7, 3] = 0.0    # codebook 7, flat index 7*128+3 (chunk 1)
+    books2[7, 100] = 0.0  # same distance, later in the same codebook
+    z2 = np.zeros((8, d), np.float32)
+    cb2 = np.full(8, 7, np.int32)
+    got2 = np.asarray(
+        masked_nearest_indices_pallas(
+            jnp.asarray(z2), jnp.asarray(books2), jnp.asarray(cb2), interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got2, np.full(8, 3, np.int32))

@@ -86,6 +86,14 @@ def build_texture_mask(
     return mask
 
 
+
+def normalize_densepose(pose):
+    """Raw densepose I-channel values -> network input range (the reference
+    divides the 24-part index map by 12 and centers, pose_attr_dataset.py:85).
+    Single home for the constant: the interactive session (ui/session.py)
+    must normalize exactly like training."""
+    return np.asarray(pose, np.float32) / 12.0 - 1.0
+
 class _FlatFileDataset:
     """Shared loading helpers over the DeepFashion-MultiModal layout."""
 
@@ -163,7 +171,7 @@ class DeepFashionAttrSegmDataset(_FlatFileDataset):
         )
         return {
             "image": image / 127.5 - 1.0,
-            "densepose": pose / 12.0 - 1.0,
+            "densepose": normalize_densepose(pose),
             "segm": segm,
             "texture_mask": mask,
             "img_name": fname,
@@ -211,7 +219,7 @@ class DeepFashionAttrPoseDataset(_FlatFileDataset):
         if self.xflip and random.random() > 0.5:
             pose = pose[:, ::-1].copy()
         return {
-            "densepose": pose / 12.0 - 1.0,
+            "densepose": normalize_densepose(pose),
             "img_name": self.target_names[index],
             "shape_attr": np.asarray(self.shape_attrs[index], np.int64),
             "upper_fused_attr": np.int64(self.upper[index]),
@@ -238,7 +246,7 @@ class ParsingGenerationDataset(_FlatFileDataset):
         pose = self._densepose(self.pose_dir, fname)
         segm = self._segm(self.segm_dir, fname)
         return {
-            "densepose": pose / 12.0 - 1.0,
+            "densepose": normalize_densepose(pose),
             "segm": segm.astype(np.int64),
             "attr": np.asarray(self.attrs[index], np.int64),
             "img_name": fname,

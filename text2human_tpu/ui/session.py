@@ -45,10 +45,9 @@ def segm_to_palette(segm: np.ndarray) -> np.ndarray:
     return palette[np.asarray(segm, np.int64)]
 
 
-def normalize_densepose(densepose_i: np.ndarray) -> np.ndarray:
-    """Raw densepose I-channel values -> network input range, the same
-    normalization the datasets apply (data/pose_attr_dataset.py:85)."""
-    return np.asarray(densepose_i, np.float32) / 12.0 - 1.0
+# the single definition lives with the datasets — interactive inputs must
+# normalize exactly like training inputs (re-exported here for callers)
+from text2human_tpu.data.datasets import normalize_densepose  # noqa: E402
 
 
 def pose_i_from_iuv(iuv: np.ndarray, target_hw) -> np.ndarray:
@@ -92,9 +91,10 @@ class InteractiveSession:
         self.shape_attr: Optional[jnp.ndarray] = None
         self.segm: Optional[np.ndarray] = None
         self.texture_attrs: Optional[List[int]] = None
-        # per-stroke history for undo (reference ui/mouse_event.py:36-129
-        # keeps the stroke list and pops on undo)
-        self._history: List[np.ndarray] = []
+        # per-stroke undo history (reference ui/mouse_event.py:36-129 keeps
+        # the stroke list and pops on undo): ("patches", [(y0,y1,x0,x1,
+        # prev), ...]) per brush stroke, ("full", map) for replacements
+        self._history: List[tuple] = []
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -136,13 +136,25 @@ class InteractiveSession:
             raise ValueError(
                 f"cls_id {cls_id} out of range [0, {len(PALETTE)})"
             )
-        self._history.append(self.segm.copy())
         h, w = self.segm.shape
         r = brush // 2
+        patches = []
         for y, x in coords:
-            y0, y1 = max(0, y - r), min(h, y + r + 1)
-            x0, x1 = max(0, x - r), min(w, x + r + 1)
+            # clamp BOTH ends: a negative center must not produce a negative
+            # slice stop (numpy would wrap it to the far edge and the stroke
+            # would paint most of the map)
+            y0 = min(max(0, y - r), h)
+            y1 = min(max(0, y + r + 1), h)
+            x0 = min(max(0, x - r), w)
+            x1 = min(max(0, x + r + 1), w)
+            if y0 >= y1 or x0 >= x1:
+                continue  # entirely off-canvas
+            patches.append((y0, y1, x0, x1, self.segm[y0:y1, x0:x1].copy()))
             self.segm[y0:y1, x0:x1] = cls_id
+        # undo history stores only the touched rectangles — O(brush area)
+        # per stroke, not O(H*W): a long interactive session must not grow
+        # server memory by a full map copy per stroke
+        self._history.append(("patches", patches))
 
     def undo(self) -> bool:
         """Revert the most recent stroke / parsing replacement (reference
@@ -150,13 +162,20 @@ class InteractiveSession:
         there is nothing to undo."""
         if not self._history:
             return False
-        self.segm = self._history.pop()
+        kind, payload = self._history.pop()
+        if kind == "full":
+            self.segm = payload
+        else:
+            # reverse order: overlapping rects within one stroke restore the
+            # earliest-saved pixels last
+            for y0, y1, x0, x1, patch in reversed(payload):
+                self.segm[y0:y1, x0:x1] = patch
         return True
 
     def set_parsing_rgb(self, rgb: np.ndarray):
         """Replace the parsing map from an edited palette image (undoable)."""
         if self.segm is not None:
-            self._history.append(self.segm.copy())
+            self._history.append(("full", self.segm.copy()))
         self.segm = palette_to_segm(rgb)
 
     # -- step 4: texture text -> image (ui_demo.py:154-179)

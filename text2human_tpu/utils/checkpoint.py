@@ -26,27 +26,61 @@ except ImportError:  # pragma: no cover
     _HAVE_ORBAX = False
 
 
+def _snapshot(tree: Any) -> Any:
+    """Detach a state tree from buffers the train loop is about to donate.
+
+    Fully-addressable arrays come back as host numpy (single-host behavior,
+    and what orbax serializes fastest); arrays spanning non-addressable
+    devices (multi-host shardings) get a DEVICE-side copy instead —
+    ``jax.device_get`` would raise on them, and keeping them distributed
+    lets orbax write each shard from the process that owns it."""
+    import jax.numpy as jnp
+
+    def snap(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return jnp.copy(x)  # eager copy preserves the sharding
+        return jax.device_get(x)
+
+    return jax.tree.map(snap, tree)
+
+
 def save_checkpoint(path: str, tree: Any):
     """Save a pytree checkpoint to ``path`` (a directory)."""
     path = osp.abspath(path)
     if _HAVE_ORBAX:
         checkpointer = ocp.PyTreeCheckpointer()
-        checkpointer.save(path, jax.device_get(tree), force=True)
+        checkpointer.save(path, _snapshot(tree), force=True)
     else:
         os.makedirs(osp.dirname(path), exist_ok=True)
-        flat, treedef = jax.tree_util.tree_flatten(jax.device_get(tree))
-        np.savez(path + ".npz", treedef=str(treedef), *flat)
+        flat, _ = jax.tree_util.tree_flatten(jax.device_get(tree))
+        np.savez(path + ".npz", *flat)
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     """Restore a pytree checkpoint; ``target`` provides structure/dtypes."""
     path = osp.abspath(path)
-    if _HAVE_ORBAX:
+    if _HAVE_ORBAX and osp.isdir(path):
         checkpointer = ocp.PyTreeCheckpointer()
         if target is not None:
             return checkpointer.restore(path, item=jax.device_get(target))
         return checkpointer.restore(path)
-    raise RuntimeError("orbax not available and npz restore needs a treedef")
+    npz = path if path.endswith(".npz") else path + ".npz"
+    if osp.exists(npz):
+        # fallback format (no orbax at save time): positional leaves, the
+        # target supplies the tree structure
+        if target is None:
+            raise RuntimeError(f"npz restore of {npz} needs a target tree")
+        flat, treedef = jax.tree_util.tree_flatten(target)
+        with np.load(npz) as data:
+            leaves = [data[f"arr_{i}"] for i in range(len(data.files))]
+        if len(leaves) != len(flat):
+            raise RuntimeError(
+                f"{npz} holds {len(leaves)} leaves, target has {len(flat)}"
+            )
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    if not _HAVE_ORBAX:
+        raise RuntimeError(f"orbax not available and {npz} does not exist")
+    raise FileNotFoundError(path)
 
 
 # alias matching common orbax naming
@@ -78,9 +112,7 @@ class AsyncCheckpointWriter:
         if self._ckptr is None:  # pragma: no cover - orbax is in the image
             return save_checkpoint(path, tree)
         self._ckptr.wait_until_finished()
-        self._ckptr.save(
-            osp.abspath(path), jax.device_get(tree), force=True
-        )
+        self._ckptr.save(osp.abspath(path), _snapshot(tree), force=True)
 
     def wait(self):
         if self._ckptr is not None:
@@ -116,13 +148,17 @@ def load_checkpoint_sharded(path: str, target: Any, mesh, specs) -> Any:
 
 
 def latest_checkpoint(root: str) -> Optional[str]:
-    """Return the highest-numbered checkpoint dir under ``root`` (step-named)."""
+    """Return the highest-numbered checkpoint under ``root`` (step-named
+    orbax dirs, or the npz fallback's ``<step>.npz`` files).  The original
+    name is preserved — zero-padded names ('0005') must resolve to the path
+    that actually exists, not its int round trip."""
     if not osp.isdir(root):
         return None
     steps = []
     for name in os.listdir(root):
-        if name.isdigit():
-            steps.append(int(name))
+        stem = name[:-4] if name.endswith(".npz") else name
+        if stem.isdigit():
+            steps.append((int(stem), name))
     if not steps:
         return None
-    return osp.join(root, str(max(steps)))
+    return osp.join(root, max(steps)[1])
