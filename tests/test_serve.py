@@ -347,3 +347,44 @@ def test_dynamic_batcher_sheds_timed_out_requests():
         while _time.time() < deadline and b.submit("after", 30) != "after":
             pass
     assert ["abandoned"] not in ran  # shed, never executed
+
+
+def test_client_error_mappings_and_stats_canonicalization():
+    """Malformed-but-parseable bodies and non-string text fields are 400s
+    (never 500s that would fail a coalesced batch), and stats key by the
+    CANONICAL route so slash-padded path variants cannot grow the maps."""
+    opt = parse("configs/debug/sample_from_pose_debug.yml", is_train=False)
+    server = build_server(opt, synthetic=True, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def post(path, body: bytes):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post("/generate", b"null") == 400
+        assert post("/generate", b"[1, 2]") == 400
+        assert post("/generate", json.dumps({"shape_text": 123}).encode()) == 400
+        assert post("/generate", json.dumps(
+            {"texture_text": ["not", "a", "string"]}).encode()) == 400
+
+        # slash-padded variants of a real route collapse to one stats key
+        for p in ("/session/undo", "//session/undo", "/session/undo/"):
+            post(p, b"{}")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=30
+        ) as r:
+            m = json.loads(r.read())
+        undo_keys = [k for k in m["routes"] if "undo" in k]
+        assert undo_keys == ["/session/undo"]
+        assert m["routes"]["/session/undo"]["count"] == 3
+    finally:
+        server.shutdown()

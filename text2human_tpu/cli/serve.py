@@ -85,7 +85,7 @@ class ServerStats:
                 }
             out = {"uptime_s": round(time.time() - self._start, 1), "routes": routes}
         if batcher is not None:
-            sizes = list(batcher.batch_sizes)  # recent successful batches
+            sizes = batcher.sizes_snapshot()  # recent successful batches
             out["batching"] = {
                 "batches": batcher.total_batches,
                 "requests": batcher.total_requests,
@@ -281,12 +281,17 @@ def make_handler(session, opt, lock, batcher, stats=None):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    # 'null' / arrays / strings parse fine but would hit
+                    # req.get(...) as an opaque 500; they are client errors
+                    raise ValueError("request body must be a JSON object")
                 if route is None:
                     self._send(404, {"error": "unknown path"})
                     return
-                if name == "_route_generate":
-                    # the batcher takes the lock inside the batch runner so
-                    # concurrent requests can coalesce instead of serializing
+                if name in ("_route_generate", "_route_session_pose"):
+                    # these routes manage the TPU lock themselves: /generate
+                    # coalesces inside the batch runner, /session/pose does
+                    # its CPU-heavy image decode before taking the lock
                     code, payload = route(req)
                 else:
                     with lock:  # one TPU program at a time
@@ -302,10 +307,12 @@ def make_handler(session, opt, lock, batcher, stats=None):
             except Exception as e:  # report, don't kill the server
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
-                # key stats on known routes only (arbitrary probed paths must
-                # not grow the stats maps without bound)
+                # key stats on the CANONICAL route only: raw self.path would
+                # let slash-padded variants (//generate, /generate/, ...) of
+                # the same resolved route grow the stats maps without bound
                 stats.record(
-                    self.path if route is not None else "<unknown>",
+                    "/" + self.path.strip("/") if route is not None
+                    else "<unknown>",
                     time.time() - t0,
                     ok,
                 )
@@ -315,6 +322,11 @@ def make_handler(session, opt, lock, batcher, stats=None):
         def _route_generate(self, req):
             shape_text = req.get("shape_text", "a woman, T-shirt, pants")
             texture_text = req.get("texture_text", "pure color, pure color")
+            # validate HERE, in the handler thread: a non-string first
+            # evaluated inside the batch runner would fail the whole
+            # coalesced batch (500s for innocent co-batched requests)
+            if not isinstance(shape_text, str) or not isinstance(texture_text, str):
+                raise ValueError("shape_text/texture_text must be strings")
             steps = sanitize_steps(req)
             # always served through the batcher (a max-batch-1 batcher just
             # runs singles): the stateless route must never mutate the shared
@@ -335,8 +347,12 @@ def make_handler(session, opt, lock, batcher, stats=None):
         # -- stepwise session (ui_demo.py workflow) -------------------------
 
         def _route_session_pose(self, req):
+            # decode + LANCZOS resize of a client image is pure CPU work:
+            # do it BEFORE taking the lock so queued /generate batches are
+            # not stalled behind it (do_POST leaves locking to this route)
             pose_i = decode_pose(req)
-            session.feed_pose(pose_i)
+            with lock:
+                session.feed_pose(pose_i)
             return 200, {"h": int(pose_i.shape[0]), "w": int(pose_i.shape[1])}
 
         def _route_session_parsing(self, req):

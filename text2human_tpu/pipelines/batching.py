@@ -55,8 +55,11 @@ class DynamicBatcher:
         self.result_timeout_s = float(result_timeout_s)
         self._queue: "queue.Queue" = queue.Queue()
         # observability (tests + /metrics): recent batch sizes (bounded —
-        # a long-lived server must not grow this forever) + running totals
+        # a long-lived server must not grow this forever) + running totals.
+        # _stats_lock guards iteration vs the worker's appends: CPython
+        # deques raise 'mutated during iteration' otherwise
         self.batch_sizes: "collections.deque" = collections.deque(maxlen=4096)
+        self._stats_lock = threading.Lock()
         self.total_batches = 0
         self.total_requests = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -78,6 +81,11 @@ class DynamicBatcher:
         except TimeoutError:
             fut.cancel()  # no-op if the worker already started running it
             raise
+
+    def sizes_snapshot(self) -> List[int]:
+        """Thread-safe copy of recent batch sizes (for /metrics)."""
+        with self._stats_lock:
+            return list(self.batch_sizes)
 
     # -- worker ---------------------------------------------------------
 
@@ -126,7 +134,8 @@ class DynamicBatcher:
                             f"run_batch returned {len(results)} results for "
                             f"{len(members)} items"
                         )
-                    self.batch_sizes.append(len(members))
+                    with self._stats_lock:
+                        self.batch_sizes.append(len(members))
                     for (_, fut), res in zip(members, results):
                         fut.set_result(res)
                 except Exception as e:  # fail the batch, keep serving
