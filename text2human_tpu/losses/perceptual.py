@@ -133,7 +133,7 @@ def load_lpips_vars(path: str) -> Dict[str, Any]:
 
     import torch
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     vgg_state: Dict[str, Any] = {}

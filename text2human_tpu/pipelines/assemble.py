@@ -39,19 +39,27 @@ def _params(tree: Dict[str, Any]) -> Any:
 def _gen(tree: Dict[str, Any], what: str) -> Any:
     params = _params(tree)
     if not isinstance(params, dict) or "gen" not in params:
+        keys = sorted(params)[:8] if isinstance(params, dict) else type(params).__name__
         raise ValueError(
             f"{what} checkpoint has no 'gen' subtree — expected a GAN-trainer "
-            f"checkpoint (params keys: {sorted(params)[:8]})"
+            f"checkpoint (params: {keys})"
         )
     return params["gen"]
 
 
-def _with_stats(tree: Dict[str, Any]) -> Dict[str, Any]:
+def _with_stats(tree: Dict[str, Any], what: str) -> Dict[str, Any]:
     state = _state(tree)
-    return {
-        "params": state["params"],
-        "batch_stats": state.get("batch_stats") or {},
-    }
+    stats = state.get("batch_stats")
+    if not stats:
+        # these nets always contain BatchNorm: an empty collection means a
+        # partial/corrupt restore, and masking it here would only surface
+        # later as a cryptic flax error inside the first jitted request
+        raise ValueError(
+            f"{what} checkpoint has no batch_stats collection — partial or "
+            "corrupt restore? (IndexPredictionNet/ParsingGenerator always "
+            "carry BatchNorm statistics)"
+        )
+    return {"params": state["params"], "batch_stats": stats}
 
 
 def assemble_pipeline_params(
@@ -76,6 +84,17 @@ def assemble_pipeline_params(
         raise ValueError(
             f"bottom checkpoint is not a hierarchy checkpoint: missing {missing}"
         )
+    top_missing = [
+        k for k in ("encoder", "quantize", "quant_conv", "post_quant_conv")
+        if k not in top_gen
+    ]
+    if top_missing:
+        # symmetric with the bottom check: swapped --top/--bottom must name
+        # the wrong argument, not die with a bare KeyError('encoder')
+        raise ValueError(
+            f"top checkpoint is not a top-VQGAN checkpoint: missing "
+            f"{top_missing} (swapped --top/--bottom?)"
+        )
     params = {
         "hierarchy": {
             "top_encoder": top_gen["encoder"],
@@ -87,10 +106,10 @@ def assemble_pipeline_params(
         },
         "segm": _params(segm),
         "sampler": _params(sampler),
-        "index_pred": _with_stats(index_pred),
+        "index_pred": _with_stats(index_pred, "index_pred"),
     }
     if parsing_gen is not None:
-        params["parsing_gen"] = _with_stats(parsing_gen)
+        params["parsing_gen"] = _with_stats(parsing_gen, "parsing_gen")
     return params
 
 

@@ -70,7 +70,9 @@ def vgg_feature_extractor(lpips_module, lpips_vars) -> Callable:
     """Deepest-VGG-feature extractor from the LPIPS tower (mean-pooled)."""
     from text2human_tpu.losses.perceptual import VGG16Features, _SCALE, _SHIFT
 
-    vgg = VGG16Features()
+    # honor the configured module's compute dtype (an LPIPS(dtype=bf16)
+    # caller expects the FID tower to run the same way)
+    vgg = VGG16Features(dtype=getattr(lpips_module, "dtype", jnp.float32))
     vgg_params = {"params": lpips_vars["params"]["vgg"]}
 
     @jax.jit
@@ -93,7 +95,7 @@ def inception_extractor_from_torch(path: str) -> Callable:
         inception_params_from_torch,
     )
 
-    sd = torch.load(path, map_location="cpu")
+    sd = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     variables = jax.tree.map(jnp.asarray, inception_params_from_torch(sd))
@@ -110,12 +112,26 @@ def compute_fid(
     moments = []
     for batches in (real_batches, fake_batches):
         rm: Optional[RunningMoments] = None
+        first_b = None
         for batch in batches:
-            feats = np.asarray(extract(jnp.asarray(batch)))
+            batch = np.asarray(batch)
+            n = batch.shape[0]
+            if first_b is None:
+                first_b = n
+            if n < first_b:
+                # pad the ragged tail to the compiled batch shape (a new
+                # leading dim would recompile the whole feature tower)
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], first_b - n, axis=0)]
+                )
+            feats = np.asarray(extract(jnp.asarray(batch)))[:n]
             if rm is None:
                 rm = RunningMoments(feats.shape[1])
             rm.update(feats)
-        assert rm is not None and rm.n >= 2, "need at least 2 samples per side"
+        if rm is None or rm.n < 2:
+            # explicit (not assert: python -O strips asserts, and the follow
+            # -on AttributeError would mask the real problem)
+            raise ValueError("need at least 2 samples per side for FID")
         moments.append(rm.finalize())
     (mu1, cov1), (mu2, cov2) = moments
     return frechet_distance(mu1, cov1, mu2, cov2)

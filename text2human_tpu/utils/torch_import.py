@@ -32,7 +32,7 @@ def _np(t) -> np.ndarray:
 def load_pth(path: str) -> Dict[str, Any]:
     import torch
 
-    return torch.load(path, map_location="cpu")
+    return torch.load(path, map_location="cpu", weights_only=True)
 
 
 def _key(prefix: str, name: str) -> str:
@@ -184,7 +184,19 @@ def quantizer_params(sd: Dict) -> Dict[str, np.ndarray]:
     while f"embedding_list.{k}.weight" in sd:
         books.append(_np(sd[f"embedding_list.{k}.weight"]))
         k += 1
+    if not books:
+        raise ValueError(
+            "unrecognized quantizer state-dict layout: expected "
+            "'embedding.weight' (single codebook) or "
+            "'embedding_list.<k>.weight' (stacked texture codebooks); got "
+            f"keys like {sorted(sd)[:6]}"
+        )
     return {"codebooks": np.stack(books)}
+
+
+def _pos_emb(sd: Dict) -> "np.ndarray":
+    pe = _np(sd["pos_emb"])
+    return pe.reshape(-1, pe.shape[-1])
 
 
 def discriminator_params(sd: Dict, n_layers: int = 3) -> Tuple[Dict, Dict]:
@@ -211,7 +223,7 @@ def transformer_params(
     checkpoint, consumed only by the autoregressive mode)."""
     out: Dict[str, Any] = {
         "tok_emb": _np(sd["tok_emb.weight"]),
-        "pos_emb": _np(sd["pos_emb"]).reshape(-1, _np(sd["pos_emb"]).shape[-1]),
+        "pos_emb": _pos_emb(sd),
         "segm_emb": _np(sd["segm_emb.weight"]),
         "texture_emb": _np(sd["texture_emb.weight"]),
         "ln_f": norm_scale_bias(sd, "ln_f"),
@@ -252,7 +264,7 @@ def transformer_single_params(
     dead code in the reference) -> our models/transformer.py:Transformer."""
     out: Dict[str, Any] = {
         "tok_emb": _np(sd["tok_emb.weight"]),
-        "pos_emb": _np(sd["pos_emb"]).reshape(-1, _np(sd["pos_emb"]).shape[-1]),
+        "pos_emb": _pos_emb(sd),
         "segm_emb": _np(sd["segm_emb.weight"]),
         "ln_f": norm_scale_bias(sd, "ln_f"),
         "head": _np(sd["head.weight"]).T,  # [D, codebook_size]
