@@ -90,9 +90,19 @@ def test_shape_attributes_threshold_rules_fire_without_minilm():
     assert out[6] == 1  # sunglasses fired
     assert out[11] == 1  # skirt
 
-    # socks bank: arg+1 encoding (attr[2]) at text_id > 2
+    # socks bank: arg+1 encoding (attr[2]) at text_id > 2.  'leggings' is
+    # bank index 3 -> raw attr 4, but the socks slot has only 4 classes
+    # (attr_class_num[4]=4): the reference would CRASH in F.one_hot there,
+    # so the value clamps to the last valid class instead
     out = generate_shape_attributes("a man, T-shirt, pants, , wearing leggings")
-    assert out[4] == 4  # 'leggings' is bank index 3 -> attr 4
+    assert out[4] == 3
+    out = generate_shape_attributes("a man, T-shirt, pants, , wearing stocking")
+    assert out[4] == 2  # in-range values unchanged
+
+    # 'cap'/'chapeau' must fire the hat rule under the fallback (MiniLM
+    # smears them onto 'hat' semantically; containment cannot)
+    out = generate_shape_attributes("a man, shirt, pants, wearing a cap")
+    assert out[5] == 1
 
     # belt (attr[5])
     out = generate_shape_attributes("a woman, shirt, pants, with a belt")

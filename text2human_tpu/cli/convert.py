@@ -103,14 +103,12 @@ def main(argv=None):
         from text2human_tpu.utils.torch_export import top_vqgan_export
 
         tree = load_checkpoint(args.ckpt)
-        # train-CLI checkpoints restore as nested dicts:
-        # {"state": {"params": {"gen": ..., "disc": ...}, ...}, "epoch": N}
-        params = tree.get("state", tree)
-        if isinstance(params, dict) and "params" in params:
-            params = params["params"]
-        if isinstance(params, dict) and "gen" in params:
-            params = params["gen"]
-        exported = top_vqgan_export(params)
+        # one unwrap definition for trainer checkpoints (assemble.py) — and
+        # its curated error when the checkpoint has no gen subtree, instead
+        # of a bare KeyError deep inside top_vqgan_export
+        from text2human_tpu.pipelines.assemble import _gen
+
+        exported = top_vqgan_export(_gen(tree, "export-top"))
         torch_ckpt = {
             comp: {k: torch.from_numpy(v.copy()) for k, v in sd.items()}
             for comp, sd in exported.items()

@@ -39,7 +39,33 @@ def save_png(path: str, img01: np.ndarray):
     Image.fromarray(arr).save(path)
 
 
+def _validate_pipeline_params(params, pipe, with_pose: bool, src: str):
+    """Fail at LOAD time, naming the missing piece — not with a cryptic
+    KeyError/flax error inside the first jitted batch."""
+    need = ["hierarchy", "segm", "sampler", "index_pred"]
+    if with_pose:
+        need.append("parsing_gen")
+    missing = [k for k in need if k not in params]
+    if missing:
+        hint = (
+            " (pose mode needs a checkpoint imported with --parsing-gen)"
+            if "parsing_gen" in missing else ""
+        )
+        raise ValueError(
+            f"pipeline checkpoint {src} is missing {missing}{hint}"
+        )
+    if (
+        pipe.cfgs.transformer.sampler == "autoregressive"
+        and "start_tok" not in params["sampler"]
+    ):
+        raise ValueError(
+            f"sampler: 'autoregressive' configured but {src} has no "
+            "start_tok — re-import the sampler with --causal-sampler"
+        )
+
+
 def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
+    with_pose = opt["model_type"] == "SampleFromPoseModel"
     # a converted/native orbax pipeline checkpoint wins
     # (written by `cli/convert.py import-pipeline` or given via YAML
     # `pipeline_checkpoint`)
@@ -47,7 +73,11 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
     if ckpt and not synthetic:
         from text2human_tpu.utils.checkpoint import load_checkpoint
 
-        return load_checkpoint(ckpt)
+        params = load_checkpoint(ckpt)
+        _validate_pipeline_params(params, pipe, with_pose, ckpt)
+        # one transfer for the whole tree: host-numpy params would otherwise
+        # re-upload hundreds of MB on EVERY jitted call
+        return jax.device_put(params, jax.devices()[0])
 
     paths = [
         opt.get("top_vae_path"),
@@ -56,7 +86,6 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
         opt.get("pretrained_sampler"),
         opt.get("pretrained_index_network"),
     ]
-    with_pose = opt["model_type"] == "SampleFromPoseModel"
     if with_pose:
         paths.append(opt.get("pretrained_parsing_gen"))
     if not synthetic:
@@ -72,7 +101,7 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
             )
         from text2human_tpu.utils.torch_import import convert_pipeline_checkpoints
 
-        return convert_pipeline_checkpoints(
+        params = convert_pipeline_checkpoints(
             opt["top_vae_path"],
             opt["bot_vae_path"],
             opt["segm_token_path"],
@@ -82,6 +111,7 @@ def load_params(pipe, opt: Dict[str, Any], synthetic: bool, ckpt: str = ""):
             # the causal trunk needs the checkpoint's start_tok parameter
             causal_sampler=pipe.cfgs.transformer.sampler == "autoregressive",
         )
+        return jax.device_put(params, jax.devices()[0])
 
     # random-weight smoke mode (explicit --synthetic).  Shapes come from
     # jax.eval_shape (pure tracing — flax .init would EXECUTE the full-size
@@ -201,30 +231,42 @@ def main(argv=None):
         num_workers=opt.get("num_workers") or 4, drop_last=False,
     )
 
+    batch_size = opt.get("batch_size") or 4
+
+    def pad_tail(arr):
+        """Pad a ragged final batch to the compiled batch shape: a new
+        leading dim would recompile the whole pipeline (incl. the 256-step
+        sampler scan — minutes) just to finish a handful of images."""
+        arr = np.asarray(arr)
+        if arr.shape[0] == batch_size:
+            return jnp.asarray(arr)
+        reps = np.repeat(arr[-1:], batch_size - arr.shape[0], axis=0)
+        return jnp.asarray(np.concatenate([arr, reps], axis=0))
+
     for i, batch in enumerate(loader):
         if args.max_batches and i >= args.max_batches:
             break
+        n = len(batch["img_name"])
         key, sub = jax.random.split(key)
         if with_pose:
             if args.synthetic:
-                b = batch["densepose"].shape[0]
-                upper = lower = outer = jnp.zeros((b,), jnp.int32)
-                shape_attr = jnp.asarray(batch["shape_attr"])
+                upper = lower = outer = jnp.zeros((batch_size,), jnp.int32)
+                shape_attr = pad_tail(batch["shape_attr"])
             else:
-                upper = jnp.asarray(batch["upper_fused_attr"])
-                lower = jnp.asarray(batch["lower_fused_attr"])
-                outer = jnp.asarray(batch["outer_fused_attr"])
-                shape_attr = jnp.asarray(batch["shape_attr"])
+                upper = pad_tail(batch["upper_fused_attr"])
+                lower = pad_tail(batch["lower_fused_attr"])
+                outer = pad_tail(batch["outer_fused_attr"])
+                shape_attr = pad_tail(batch["shape_attr"])
             images, segm = pipe.sample_from_pose(
-                params, sub, jnp.asarray(batch["densepose"]), shape_attr,
+                params, sub, pad_tail(batch["densepose"]), shape_attr,
                 upper, lower, outer,
             )
         else:
             images = pipe.sample_from_parsing(
-                params, sub, jnp.asarray(batch["segm"]),
-                jnp.asarray(batch["texture_mask"]),
+                params, sub, pad_tail(batch["segm"]),
+                pad_tail(batch["texture_mask"]),
             )
-        images = np.asarray(images)
+        images = np.asarray(images[:n])
         for j, name in enumerate(batch["img_name"]):
             save_png(osp.join(save_dir, name), images[j])
         logger.info(f"batch {i}: wrote {images.shape[0]} images")

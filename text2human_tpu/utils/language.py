@@ -239,12 +239,27 @@ def generate_shape_attributes(
             sims = sim(text, SOCKS_LENGTH_TEXT)
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
-                attr[2] = arg + 1
+                # reference writes arg+1 in [1,5] (language_utils.py:138-140)
+                # but the socks slot has only 4 classes (attr_class_num[4]=4,
+                # parsing_gen.yml:20) — torch F.one_hot would CRASH on
+                # 'leggings'/'sheer hosiery'; clamp to the last valid class
+                # instead of inheriting the latent crash (jax one_hot would
+                # silently zero the row, which is worse)
+                attr[2] = min(arg + 1, 3)
                 changed[2] = 1
 
         if not changed[3] and text_id > 2:
             sims = sim(text, HAT_TEXT)
-            if sims[0][0] > 0.7:
+            # the reference reads only sims[0][0] ('hat', language_utils.py:
+            # 144-149) and relies on MiniLM scoring 'cap'/'chapeau' close to
+            # it semantically; the lexical fallback has no such smearing, so
+            # it checks the whole bank (MiniLM path unchanged)
+            hat_score = (
+                float(np.max(sims))
+                if isinstance(model, LexicalEncoder)
+                else float(sims[0][0])
+            )
+            if hat_score > 0.7:
                 attr[3] = 1
                 changed[3] = 1
 
@@ -266,7 +281,10 @@ def generate_shape_attributes(
             sims = sim(text, OUTER_SHAPE_TEXT)
             arg = int(np.argmax(sims))
             if sims[0][arg] > 0.7:
-                attr[6] = arg
+                # bank has 4 phrases but the outer-shape slot 3 classes
+                # (attr_class_num[8]=3): the reference would crash in
+                # F.one_hot on the 4th phrase — clamp (see socks above)
+                attr[6] = min(arg, 2)
                 changed[6] = 1
 
         if not changed[10] and text_num == 2 and text_id == 1:
