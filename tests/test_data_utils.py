@@ -291,8 +291,9 @@ def test_flat_file_datasets_end_to_end(tmp_path):
 
 
 def test_segm_dataset_rejects_misordered_annotations(tmp_path):
-    """Annotation files listing different image orders must assert
-    (reference segm_attr_dataset.py:40-58 contract checks)."""
+    """Annotation files listing different image orders must raise
+    (reference segm_attr_dataset.py:40-58 contract checks) — a real
+    ValueError, not an -O-strippable assert."""
     import pytest
 
     from text2human_tpu.data.datasets import DeepFashionAttrSegmDataset
@@ -302,7 +303,7 @@ def test_segm_dataset_rejects_misordered_annotations(tmp_path):
     lines = open(ann_dir / "lower_fused.txt").readlines()
     with open(ann_dir / "lower_fused.txt", "w") as f:
         f.writelines(reversed(lines))
-    with pytest.raises(AssertionError, match="disagree"):
+    with pytest.raises(ValueError, match="disagree"):
         DeepFashionAttrSegmDataset(
             str(tmp_path / "images"), str(tmp_path / "segm"),
             str(tmp_path / "densepose"), str(ann_dir),

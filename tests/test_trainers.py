@@ -419,3 +419,44 @@ def test_plain_image_vqgan_no_mask(rng):
     state = trainer.init_state(jax.random.key(1), gen, batch["image"])
     state, metrics = trainer.train_step(state, batch, jax.random.key(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_weight_decay_matches_torch_coupled_l2():
+    """make_optimizer's weight decay must be COUPLED (torch.optim.Adam/SGD
+    add wd*param to the grad BEFORE moment accumulation), not decoupled
+    AdamW-style — the parity target for any config with weight_decay > 0."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from text2human_tpu.trainers.base import make_optimizer
+
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal(6).astype(np.float32)
+    grads = [rng.standard_normal(6).astype(np.float32) for _ in range(3)]
+    wd, lr = 0.1, 1e-2
+
+    for name, kwargs, make_t in (
+        ("Adam", dict(betas=(0.9, 0.999)),
+         lambda p: torch.optim.Adam([p], lr=lr, weight_decay=wd)),
+        ("SGD", dict(momentum=0.9),
+         lambda p: torch.optim.SGD([p], lr=lr, momentum=0.9, weight_decay=wd)),
+    ):
+        tp = torch.nn.Parameter(torch.tensor(w0))
+        opt_t = make_t(tp)
+        for g in grads:
+            opt_t.zero_grad()
+            tp.grad = torch.tensor(g)
+            opt_t.step()
+
+        tx = make_optimizer(lr=lr, weight_decay=wd, optimizer=name, **kwargs)
+        wj = jnp.asarray(w0)
+        state = tx.init(wj)
+        for g in grads:
+            updates, state = tx.update(jnp.asarray(g), state, wj)
+            wj = wj + updates
+        np.testing.assert_allclose(
+            np.asarray(wj), tp.detach().numpy(), rtol=1e-5, atol=1e-6,
+            err_msg=f"{name} weight-decay semantics diverge from torch",
+        )

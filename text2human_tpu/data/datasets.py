@@ -51,14 +51,21 @@ def _read_attr_file(path: str) -> Tuple[List[str], List[List[int]]]:
 
 
 def _use_native_loader() -> bool:
-    return os.environ.get("T2H_NATIVE_LOADER", "") not in ("", "0", "false")
+    # explicit allowlist: 'False'/'no'/'off' must DISABLE, not enable
+    return os.environ.get("T2H_NATIVE_LOADER", "").lower() in (
+        "1", "true", "yes", "on",
+    )
+
+
+_LANCZOS = getattr(Image, "LANCZOS", "lanczos")
+_NEAREST = getattr(Image, "NEAREST", "nearest")
 
 
 def _load_resized(path: str, downsample: int, resample) -> np.ndarray:
     if _use_native_loader():
         from text2human_tpu.data import native_loader as nl
 
-        filt = nl.LANCZOS if resample == Image.LANCZOS else nl.NEAREST
+        filt = nl.LANCZOS if resample == _LANCZOS else nl.NEAREST
         return nl.decode_image(path, downsample=downsample, filter=filt)
     with open(path, "rb") as f:
         img = Image.open(f)
@@ -102,7 +109,7 @@ class _FlatFileDataset:
         self.xflip = xflip
 
     def _image(self, img_dir: str, fname: str) -> np.ndarray:
-        arr = _load_resized(osp.join(img_dir, fname), self.downsample_factor, Image.LANCZOS)
+        arr = _load_resized(osp.join(img_dir, fname), self.downsample_factor, _LANCZOS)
         if arr.ndim == 2:
             arr = arr[:, :, None]
         return arr.astype(np.float32)  # HWC
@@ -119,12 +126,12 @@ class _FlatFileDataset:
                 filter=nl.NEAREST,
             )
             return arr[:, :, None].astype(np.float32)
-        arr = _load_resized(path, self.downsample_factor, Image.NEAREST)
+        arr = _load_resized(path, self.downsample_factor, _NEAREST)
         return arr[:, :, 2:].astype(np.float32)  # keep I channel, [H,W,1]
 
     def _segm(self, segm_dir: str, fname: str) -> np.ndarray:
         name = f"{fname[:-4]}_segm.png"
-        arr = _load_resized(osp.join(segm_dir, name), self.downsample_factor, Image.NEAREST)
+        arr = _load_resized(osp.join(segm_dir, name), self.downsample_factor, _NEAREST)
         return arr.astype(np.float32)  # [H,W]
 
 
@@ -145,9 +152,10 @@ class DeepFashionAttrSegmDataset(_FlatFileDataset):
         self.fnames, upper = _read_attr_file(osp.join(ann_dir, "upper_fused.txt"))
         names_l, lower = _read_attr_file(osp.join(ann_dir, "lower_fused.txt"))
         names_o, outer = _read_attr_file(osp.join(ann_dir, "outer_fused.txt"))
-        assert names_l == self.fnames and names_o == self.fnames, (
-            "texture annotation files disagree on image order"
-        )
+        if names_l != self.fnames or names_o != self.fnames:
+            # explicit (not assert: python -O strips asserts, silently
+            # pairing attributes with the wrong images)
+            raise ValueError("texture annotation files disagree on image order")
         self.upper = [a[0] for a in upper]
         self.lower = [a[0] for a in lower]
         self.outer = [a[0] for a in outer]
@@ -200,12 +208,12 @@ class DeepFashionAttrPoseDataset(_FlatFileDataset):
         names_s, shape = _read_attr_file(shape_ann_path)
         # every annotation file must list the same images in the same order
         # (reference pose_attr_dataset.py:45,54,62)
-        assert names_l == self.target_names and names_o == self.target_names, (
-            "texture annotation files disagree on image order"
-        )
-        assert names_s == self.target_names, (
-            "shape annotation file disagrees with texture annotations"
-        )
+        if names_l != self.target_names or names_o != self.target_names:
+            raise ValueError("texture annotation files disagree on image order")
+        if names_s != self.target_names:
+            raise ValueError(
+                "shape annotation file disagrees with texture annotations"
+            )
         self.upper = [a[0] for a in upper]
         self.lower = [a[0] for a in lower]
         self.outer = [a[0] for a in outer]

@@ -10,8 +10,9 @@ batch entry point.
 The shared library is built on demand with g++ (no pybind11 in this image;
 plain C ABI + ctypes).  Build products live under ``native/build``.  Set
 ``T2H_NATIVE_LOADER=1`` to route the flat-file datasets through this decoder
-(``datasets._load_resized`` consults :func:`get_native_decoder`); PIL remains
-the default and the fallback.
+(``datasets._use_native_loader`` gates ``_load_resized``/``_densepose`` onto
+:func:`decode_image`/:func:`decode_channel`); PIL remains the default and
+the fallback.
 """
 
 from __future__ import annotations
@@ -39,12 +40,21 @@ _load_error: Optional[str] = None
 
 
 def _build() -> None:
+    # compile to a process-unique temp name, then atomically rename: a
+    # concurrent process (multi-worker tokenize/train starts) must never
+    # dlopen a half-written .so
     os.makedirs(_BUILD_DIR, exist_ok=True)
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-        "-o", _LIB_PATH, "-ljpeg", "-lpng", "-pthread",
+        "-o", tmp, "-ljpeg", "-lpng", "-pthread",
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        if osp.exists(tmp):
+            os.unlink(tmp)
 
 
 def load_library(rebuild: bool = False) -> ctypes.CDLL:
@@ -64,7 +74,13 @@ def load_library(rebuild: bool = False) -> ctypes.CDLL:
                 or os.path.getmtime(_LIB_PATH) < src_mtime
             ):
                 _build()
-            lib = ctypes.CDLL(_LIB_PATH)
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                # transient: another process may be mid-replace — one
+                # rebuild-and-retry before declaring the loader unavailable
+                _build()
+                lib = ctypes.CDLL(_LIB_PATH)
         except (OSError, subprocess.CalledProcessError) as e:
             detail = getattr(e, "stderr", "") or str(e)
             _load_error = f"native loader unavailable: {detail}"

@@ -84,16 +84,26 @@ def make_optimizer(
     hierarchy_vqgan_model.py:127-156)."""
 
     def build(learning_rate):
+        # COUPLED L2 weight decay: torch.optim.Adam/SGD add wd*param to the
+        # gradient BEFORE the moment/momentum accumulation — so the decay
+        # term must precede scale_by_adam/trace.  (Decoupled AdamW-style
+        # decay after the moments would silently diverge from the reference
+        # optimizer whenever a config sets weight_decay > 0.)
+        decay = (
+            optax.add_decayed_weights(weight_decay)
+            if weight_decay
+            else optax.identity()
+        )
         if optimizer == "Adam":
             tx = optax.chain(
+                decay,
                 optax.scale_by_adam(b1=betas[0], b2=betas[1]),
-                optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
                 optax.scale(-learning_rate),
             )
         elif optimizer == "SGD":
             tx = optax.chain(
+                decay,
                 optax.trace(decay=momentum) if momentum else optax.identity(),
-                optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
                 optax.scale(-learning_rate),
             )
         else:
