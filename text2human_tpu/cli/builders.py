@@ -180,8 +180,9 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
     if model_type == "HierarchyVQSpatialTextureAwareModel":
         if lpips_vars is None:
             lpips_vars = resolve_lpips_vars(opt)
+        top_cfg = vqgan_cfg(opt, "top_", remat=bool(_get(opt, "remat", True)))
         return HierarchyVQGANTrainer(
-            vqgan_cfg(opt, "top_", remat=bool(_get(opt, "remat", True))),
+            top_cfg,
             QuantizerConfig(
                 # honor the YAML's top codebook size (1024 in every released
                 # config; debug geometries shrink it)
@@ -199,8 +200,7 @@ def build_trainer(opt: Dict[str, Any], lpips_vars: Optional[Any] = None):
             fix_decoder=bool(opt.get("fix_decoder")),
             lpips_vars=lpips_vars,
             disc=_discriminator(opt),
-            sample_shape=(1, vqgan_cfg(opt, "top_").resolution,
-                          vqgan_cfg(opt, "top_").resolution // 2, 3),
+            sample_shape=(1, top_cfg.resolution, top_cfg.resolution // 2, 3),
         )
 
     if model_type == "TransformerTextureAwareModel":

@@ -41,26 +41,30 @@ def main(argv=None):
 
     from text2human_tpu.cli.builders import build_pipeline
     from text2human_tpu.cli.sample import load_params, save_png
+    # shared serving geometry + synthetic-pose definitions: the demo must
+    # hit exactly the program --warmup/serving compiles
+    from text2human_tpu.cli.serve import model_pose_hw, synthetic_pose
     from text2human_tpu.config import parse
     from text2human_tpu.ui.session import InteractiveSession, segm_to_palette
+    from text2human_tpu.utils.misc import enable_compilation_cache
 
+    enable_compilation_cache()  # warm demo runs skip the cold XLA compile
     opt = parse(args.opt, is_train=False)
     opt["model_type"] = "SampleFromPoseModel"
     pipe = build_pipeline(opt)
     params = load_params(pipe, opt, args.synthetic)
     sess = InteractiveSession(pipe, params, seed=opt.get("manual_seed") or 0)
 
-    res = opt.get("synthetic_resolution") or opt.get("top_resolution") or 512
     if args.pose:
         from text2human_tpu.ui.session import pose_i_from_iuv
 
         # reference demo semantics: LANCZOS-resize the IUV to the model
         # resolution, then keep the I channel (ui_demo.py:90-95)
-        pose_i = pose_i_from_iuv(np.array(Image.open(args.pose)), (res, res // 2))
-    else:
-        pose_i = np.random.default_rng(0).uniform(0, 24, (res, res // 2)).astype(
-            np.float32
+        pose_i = pose_i_from_iuv(
+            np.array(Image.open(args.pose)), model_pose_hw(opt)
         )
+    else:
+        pose_i = synthetic_pose(opt)
         print("no --pose given: using a random synthetic pose")
     sess.feed_pose(pose_i)
 

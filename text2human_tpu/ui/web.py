@@ -127,10 +127,18 @@ function setStatus(msg, kind) {
 }
 async function api(path, body) {
   setStatus('working…', 'busy');
-  const r = await fetch(path, {method: 'POST',
-    headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify(body || {})});
-  const j = await r.json();
+  let r, j;
+  try {
+    r = await fetch(path, {method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify(body || {})});
+    j = await r.json();
+  } catch (e) {
+    // network failure / server restart / truncated body: without this the
+    // status stays 'working…' forever and the rejection goes unhandled
+    setStatus('request failed: ' + e.message, 'err');
+    throw e;
+  }
   if (!r.ok) { setStatus(j.error || r.statusText, 'err'); throw new Error(j.error); }
   setStatus('');
   return j;
@@ -184,16 +192,25 @@ function paintLocal(y, x) {
   ctx.fillStyle = `rgb(${c[0]},${c[1]},${c[2]})`;
   ctx.fillRect(x - r0, y - r0, 2 * r0 + 1, 2 * r0 + 1);
 }
+let strokeBackup = null;  // canvas snapshot for reverting a failed stroke
 canvas.addEventListener('mousedown', ev => { drawing = true; stroke = [];
+  strokeBackup = ctx.getImageData(0, 0, canvas.width, canvas.height);
   const [y, x] = canvasPoint(ev); stroke.push([y, x]); paintLocal(y, x); });
 canvas.addEventListener('mousemove', ev => { if (!drawing) return;
   const [y, x] = canvasPoint(ev); stroke.push([y, x]); paintLocal(y, x); });
 window.addEventListener('mouseup', async () => {
   if (!drawing) return; drawing = false;
   if (!stroke.length) return;
-  const j = await api('/session/paint', {cls_id: cls, points: stroke,
-    brush: +document.getElementById('brush').value});
-  showParsing(j.parsing_png_b64);
+  try {
+    const j = await api('/session/paint', {cls_id: cls, points: stroke,
+      brush: +document.getElementById('brush').value});
+    showParsing(j.parsing_png_b64);
+  } catch (e) {
+    // the stroke never registered server-side (paint-before-parsing 400,
+    // network error): revert the optimistic local paint so the canvas
+    // matches the server's map
+    if (strokeBackup) ctx.putImageData(strokeBackup, 0, 0);
+  }
 });
 // buttons
 document.getElementById('random_pose').onclick = async () => {
@@ -213,8 +230,11 @@ document.getElementById('gen_parsing').onclick = async () => {
 };
 document.getElementById('undo').onclick = async () => {
   const j = await api('/session/undo', {});
+  // the server returns the (unchanged) map with ok=false when the stroke
+  // history is empty — keying on the image alone would silently pretend
+  // an undo happened
   if (j.parsing_png_b64) showParsing(j.parsing_png_b64);
-  else setStatus('nothing to undo');
+  if (!j.ok) setStatus('nothing to undo');
 };
 document.getElementById('gen_human').onclick = async () => {
   const steps = +document.getElementById('steps').value || 0;

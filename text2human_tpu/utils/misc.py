@@ -92,6 +92,10 @@ class ProgressBar:
                 f"\r[{bar}] {self.completed}/{self.task_num} "
                 f"{fps:.1f} it/s eta {eta}s {msg}"
             )
+            if self.completed >= self.task_num:
+                # terminate the bar line like the reference (utils/util.py:
+                # 92-94): later prints must not overwrite/append to it
+                self._out.write("\n")
         else:
             self._out.write(
                 f"\rcompleted {self.completed} ({fps:.1f} it/s) {msg}"
