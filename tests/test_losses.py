@@ -16,7 +16,11 @@ from text2human_tpu.losses.vqgan_loss import (
 torch = pytest.importorskip("torch")
 
 
-def test_cross_entropy_matches_torch(rng):
+def test_cross_entropy_matches_reference_reduction(rng):
+    """The parity target is the reference's mmseg-style reduction
+    (cross_entropy_loss.py:46-47,58-81): F.cross_entropy(reduction='none',
+    ignore_index).mean() — divides by the TOTAL element count (ignored
+    positions contribute zero), NOT torch's bare valid-count mean."""
     logits = rng.standard_normal((4, 7, 10)).astype(np.float32)
     labels = rng.integers(0, 10, (4, 7))
     labels[0, :3] = -1  # ignored
@@ -25,8 +29,17 @@ def test_cross_entropy_matches_torch(rng):
         torch.from_numpy(logits).permute(0, 2, 1),
         torch.from_numpy(labels),
         ignore_index=-1,
-    ).item()
+        reduction="none",
+    ).mean().item()
     assert got == pytest.approx(want, rel=1e-5)
+
+    # without ignored labels the two conventions coincide with plain torch
+    labels2 = rng.integers(0, 10, (4, 7))
+    got2 = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels2)))
+    want2 = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).permute(0, 2, 1), torch.from_numpy(labels2)
+    ).item()
+    assert got2 == pytest.approx(want2, rel=1e-5)
 
 
 def test_bce_matches_torch(rng):
@@ -122,10 +135,14 @@ def test_binary_cross_entropy_onehot_expansion(rng):
         __import__("text2human_tpu.losses.ce", fromlist=["binary_cross_entropy"])
         .binary_cross_entropy(jnp.asarray(logits), jnp.asarray(labels))
     )
-    want = torch.nn.functional.binary_cross_entropy_with_logits(
+    # reference reduction: zeroed ignored rows still count in the mean
+    # (cross_entropy_loss.py:106-146 -> weight_reduce_loss -> loss.mean())
+    per_el = torch.nn.functional.binary_cross_entropy_with_logits(
         torch.from_numpy(logits[:2]),
         torch.nn.functional.one_hot(torch.tensor([0, 2]), 4).float(),
-    ).item()
+        reduction="none",
+    )
+    want = (per_el.sum() / logits.size).item()
     assert got == pytest.approx(want, rel=1e-5)
 
 

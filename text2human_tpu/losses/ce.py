@@ -22,7 +22,12 @@ def cross_entropy(
 ) -> jax.Array:
     """Softmax CE over the last axis of ``logits`` (labels same shape minus it).
 
-    torch's mean reduction averages over non-ignored elements only.
+    Reduction follows the reference's mmseg-style ``weight_reduce_loss``
+    (cross_entropy_loss.py:46-47,58-81): F.cross_entropy(reduction='none',
+    ignore_index) zeroes ignored positions and ``loss.mean()`` then divides
+    by the TOTAL element count — NOT torch's bare F.cross_entropy semantics
+    of averaging over valid elements only.  (Identical whenever nothing is
+    ignored, which is every shipped trainer today.)
     """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = labels != ignore_index
@@ -33,17 +38,21 @@ def cross_entropy(
         return nll
     if reduction == "sum":
         return jnp.sum(nll)
-    count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
-    return jnp.sum(nll) / count
+    return jnp.mean(nll)
+
+
+def _bce_elements(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Stable elementwise BCE-with-logits: max(x,0) - x*t + log1p(e^-|x|).
+    One definition — a numerical-stability fix must not fork."""
+    zeros = jnp.zeros_like(logits)
+    return jnp.maximum(logits, zeros) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
 
 
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Mean binary cross-entropy with logits (stable form)."""
-    zeros = jnp.zeros_like(logits)
-    loss = jnp.maximum(logits, zeros) - logits * targets + jnp.log1p(
-        jnp.exp(-jnp.abs(logits))
-    )
-    return jnp.mean(loss)
+    return jnp.mean(_bce_elements(logits, targets))
 
 
 def bce_with_quant(
@@ -85,23 +94,22 @@ def binary_cross_entropy(
         weight = jnp.broadcast_to(
             valid[..., None].astype(jnp.float32), logits.shape
         )
-    zeros = jnp.zeros_like(logits)
-    loss = (
-        jnp.maximum(logits, zeros)
-        - logits * target
-        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    )
-    denom = jnp.maximum(jnp.sum(weight), 1.0)
-    return jnp.sum(loss * weight) / denom
+    loss = _bce_elements(logits, target)
+    # reference reduction (cross_entropy_loss.py:106-146 -> weight_reduce_
+    # loss -> loss.mean()): divide by the TOTAL element count, with ignored
+    # positions contributing zero — not by the valid count
+    return jnp.mean(loss * weight)
 
 
 def mask_cross_entropy(
     logits: jax.Array, target: jax.Array, label: jax.Array
 ) -> jax.Array:
     """BCE of the per-sample selected class channel
-    (reference cross_entropy_loss.py:149-184)."""
-    idx = label[:, None].astype(jnp.int32)
-    sel = jnp.take_along_axis(logits, idx, axis=1)[:, 0]
+    (reference cross_entropy_loss.py:149-184).  Channel-LAST here: logits
+    may be [N, C] or [N, H, W, C] (the reference slices pred[inds, label]
+    on its channel-second layout)."""
+    idx = label.reshape(label.shape[0], *([1] * (logits.ndim - 1)))
+    sel = jnp.take_along_axis(logits, idx.astype(jnp.int32), axis=-1)[..., 0]
     return bce_with_logits(sel, target.astype(jnp.float32))
 
 

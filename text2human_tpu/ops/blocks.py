@@ -50,6 +50,11 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # deliberate divergence: torch GroupNorm(32, ch) refuses ch % 32 != 0
+        # at construction, which would forbid every tiny debug/test geometry
+        # in configs/debug.  Channel counts below 32 lower the group count
+        # (per-channel norm at the extreme); all golden-parity tests use
+        # ch >= 32 where numerics must match the reference exactly.
         groups = min(self.num_groups, x.shape[-1])
         out = nn.GroupNorm(num_groups=groups, epsilon=1e-6, dtype=jnp.float32)(
             x.astype(jnp.float32)
