@@ -414,3 +414,110 @@ def test_pipeline_mesh_tp_layout(rng):
     # a dp-only mesh keeps the shard_map trunk (fused-kernel layout)
     dp_mesh = make_mesh({"dp": 8})
     assert SamplePipeline(CFGS, mesh=dp_mesh)._tp_serving is False
+
+
+def test_pp_denoise_matches_single_device():
+    """GPipe pipeline trunk (pp=2 x dp=4): forward logits and gradients match
+    the single-device select-head forward."""
+    from text2human_tpu.parallel.pp import (
+        pipeline_denoise,
+        pp_param_specs,
+        shard_pp_params,
+    )
+
+    mesh = make_mesh({"pp": 2, "dp": 4})
+    model = TransformerMultiHead(TP_CFG)
+    rng = np.random.default_rng(3)
+    b, t = 8, TP_CFG.block_size
+    tok = jnp.asarray(rng.integers(0, TP_CFG.vocab_size, (b, t)), jnp.int32)
+    segm = jnp.asarray(rng.integers(0, 16, (b, t)), jnp.int32)
+    tex = jnp.asarray(
+        rng.integers(0, TP_CFG.texture_codebook_size, (b, t)), jnp.int32
+    )
+    params = model.init(jax.random.key(0), tok, tok, tok)["params"]
+
+    specs = pp_param_specs(params)
+    assert specs["blocks"]["attn"]["query"]["kernel"] == P("pp")
+    assert specs["tok_emb"] == P() and specs["heads"] == P()
+
+    def ref_fn(p):
+        out = model.apply({"params": p}, tok, segm, tex, select_heads=True)
+        return jnp.mean(out**2), out
+
+    (ref_loss, ref_out), ref_grads = jax.value_and_grad(ref_fn, has_aux=True)(
+        params
+    )
+
+    pp_apply = pipeline_denoise(model, mesh, num_microbatches=2)
+    sh_params = shard_pp_params(mesh, params)
+    sh_tok, sh_segm, sh_tex = shard_batch(mesh, (tok, segm, tex))
+
+    def pp_fn(p):
+        out = pp_apply(p, sh_tok, sh_segm, sh_tex)
+        return jnp.mean(out**2), out
+
+    (pp_loss, pp_out), pp_grads = jax.jit(
+        jax.value_and_grad(pp_fn, has_aux=True)
+    )(sh_params)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(pp_out)), np.asarray(ref_out), atol=2e-5
+    )
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_pp = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(pp_grads)
+    )
+    for k, g_ref in flat_ref:
+        g_pp = np.asarray(jax.device_get(flat_pp[jax.tree_util.keystr(k)]))
+        np.testing.assert_allclose(
+            g_pp, np.asarray(g_ref), atol=3e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}",
+        )
+
+
+def test_pp_train_step_matches_single_device():
+    """One pp x dp sampler optimizer step tracks the single-device step."""
+    from text2human_tpu.parallel.pp import make_pp_train_step, shard_pp_params
+
+    mesh = make_mesh({"pp": 2, "dp": 4})
+    trainer = SamplerTrainer(
+        TP_CFG, img_cfg=None, img_quant=None, segm_cfg=None, segm_quant=None
+    )
+    rng = np.random.default_rng(4)
+    b, t = 8, TP_CFG.block_size
+    c = TP_CFG.head_class_num
+    tex = rng.integers(0, TP_CFG.texture_codebook_size, (b, t))
+    local = rng.integers(0, c, (b, t))
+    tokens = {
+        "x0_cont": jnp.asarray(local + c * tex, jnp.int32),
+        "gt_local": jnp.asarray(local, jnp.int32),
+        "segm_tokens": jnp.asarray(rng.integers(0, 16, (b, t)), jnp.int32),
+        "texture_tokens": jnp.asarray(tex, jnp.int32),
+    }
+
+    state = trainer.init_state(jax.random.key(0))
+    ref_state, ref_metrics = trainer.train_step(state, tokens, jax.random.key(1))
+
+    state2 = trainer.init_state(jax.random.key(0))
+    sh_params = shard_pp_params(mesh, state2.params)
+    sh_state = state2.replace(
+        params=sh_params, opt_state=trainer.tx.init(sh_params)
+    )
+    sh_tokens = shard_batch(mesh, tokens)
+    step = make_pp_train_step(trainer, mesh, num_microbatches=2)
+    new_state, metrics = step(sh_state, sh_tokens, jax.random.key(1))
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4
+    )
+    lk = new_state.params["blocks"]["attn"]["query"]["kernel"]
+    assert len(lk.sharding.device_set) > 1  # blocks stay pp-sharded
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(lk)),
+        np.asarray(
+            jax.device_get(ref_state.params["blocks"]["attn"]["query"]["kernel"])
+        ),
+        atol=2e-5,
+    )

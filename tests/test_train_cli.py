@@ -139,3 +139,23 @@ def test_train_cli_parsing_gen():
         "--synthetic", "--max-iters", "2",
     ])
     assert os.path.exists("experiments/parsing_gen_debug/metrics.jsonl")
+
+
+def test_train_cli_sampler_pp():
+    """Two synthetic sampler steps with the pipeline-parallel trunk
+    (--pp 2: blocks sharded over a pp mesh axis, GPipe microbatch schedule,
+    remaining devices dp)."""
+    import json
+
+    train_cli.main([
+        "-opt", "configs/debug/sampler_debug.yml", "--synthetic",
+        "--max-iters", "2", "--pp", "2",
+    ])
+    path = "experiments/sampler_debug/metrics.jsonl"
+    assert os.path.exists(path)
+    rows = [json.loads(l) for l in open(path)]
+    assert rows and all(
+        l == l and abs(l) < 1e9 for l in (r["loss"] for r in rows)
+    )
+    log = open("experiments/sampler_debug/train_sampler_debug.log").read()
+    assert "pipeline-parallel mesh" in log

@@ -162,7 +162,8 @@ def to_device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
 class TrainLoop:
     """Adapter running any of the six trainers over the shared epoch loop."""
 
-    def __init__(self, opt, trainer, synthetic: bool, mesh=None, token_meta=None):
+    def __init__(self, opt, trainer, synthetic: bool, mesh=None, token_meta=None,
+                 pp_microbatches: int = 0):
         self.opt = opt
         self.trainer = trainer
         self.mt = opt["model_type"]
@@ -171,6 +172,19 @@ class TrainLoop:
         self.state = None
         self.frozen: Dict[str, Any] = {}
         self.mesh = mesh
+        # pipeline parallelism (sampler job only): > 0 selects the GPipe
+        # trunk schedule of parallel/pp.py with this many microbatches; the
+        # mesh must carry a 'pp' axis
+        self.pp_microbatches = pp_microbatches
+        self._pp_step = None
+        if pp_microbatches:
+            if self.mt != "TransformerTextureAwareModel":
+                raise ValueError(
+                    "--pp pipelines the sampler transformer trunk; "
+                    f"model_type {self.mt} has no pipeline layout"
+                )
+            if mesh is None or "pp" not in dict(mesh.shape):
+                raise ValueError("pp_microbatches > 0 needs a mesh with a 'pp' axis")
         # meta.json of the TokenDataset feeding this loop, if any — a cache
         # built from REAL checkpoints must never be consumed against
         # random-init frozen codebooks (they are load-bearing at gather time)
@@ -188,7 +202,28 @@ class TrainLoop:
             return
         from text2human_tpu.parallel.mesh import replicate_tree
 
-        self.state = replicate_tree(self.mesh, self.state)
+        if self.pp_microbatches:
+            # pp layout: block params sharded on the pp axis, everything else
+            # (embeddings/heads, optimizer counts) replicated.  Optimizer
+            # moments are placed replicated here — fresh init holds zeros and
+            # a resumed tree predates the mesh — and the first donated step's
+            # output adopts the pp-sharded layout XLA derives from the grads,
+            # so the steady state is sharded either way.  Idempotent: called
+            # again after --resume swaps in the restored state.
+            from text2human_tpu.parallel.pp import (
+                make_pp_train_step, shard_pp_params,
+            )
+
+            self.state = replicate_tree(self.mesh, self.state).replace(
+                params=shard_pp_params(self.mesh, self.state.params)
+            )
+            if self._pp_step is None:
+                self._pp_step = make_pp_train_step(
+                    self.trainer, self.mesh,
+                    num_microbatches=self.pp_microbatches,
+                )
+        else:
+            self.state = replicate_tree(self.mesh, self.state)
         self.frozen = {
             k: replicate_tree(self.mesh, v) for k, v in self.frozen.items()
         }
@@ -427,7 +462,8 @@ class TrainLoop:
             self.state, logs = t.train_step(self.state, b, self._next_key())
         elif mt == "TransformerTextureAwareModel":
             tokens = self._sampler_tokens(b)
-            self.state, logs = t.train_step(self.state, tokens, self._next_key())
+            step_fn = self._pp_step or t.train_step
+            self.state, logs = step_fn(self.state, tokens, self._next_key())
         elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
             data = self._hierarchy_data(b)
             self.state, logs = t.train_step(self.state, data, self._next_key())
@@ -622,6 +658,14 @@ def main(argv=None):
                         help="data-parallel over all local devices: batches "
                              "sharded on a dp mesh, params replicated, grads "
                              "psum'd by XLA")
+    parser.add_argument("--pp", type=int, default=0,
+                        help="pipeline-parallel stages for the sampler job: "
+                             "block params sharded over a 'pp' mesh axis, "
+                             "GPipe microbatch schedule (parallel/pp.py); "
+                             "remaining devices become dp")
+    parser.add_argument("--microbatches", type=int, default=2,
+                        help="microbatches per pp pipeline step (clamped to "
+                             "the largest divisor of the per-dp-shard batch)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -653,11 +697,30 @@ def main(argv=None):
 
     trainer = build_trainer(opt)
     mesh = None
-    if args.dp:
+    pp_microbatches = 0
+    bs = opt.get("batch_size") or 4
+    n = len(jax.devices())
+    if args.pp:
         from text2human_tpu.parallel.mesh import make_mesh
 
-        bs = opt.get("batch_size") or 4
-        n = len(jax.devices())
+        pp = args.pp
+        if n < pp:
+            raise SystemExit(f"--pp {pp}: only {n} devices visible")
+        # remaining devices become dp; dp must divide the batch
+        avail_dp = n // pp
+        dp = max(d for d in range(1, min(bs, avail_dp) + 1) if bs % d == 0)
+        mesh = make_mesh({"pp": pp, "dp": dp}, jax.devices()[: pp * dp])
+        per_shard = bs // dp
+        m = max(d for d in range(1, min(args.microbatches, per_shard) + 1)
+                if per_shard % d == 0)
+        pp_microbatches = m
+        logger.info(
+            f"pipeline-parallel mesh: {mesh.shape} (batch {bs}, "
+            f"{m} microbatches)"
+        )
+    elif args.dp:
+        from text2human_tpu.parallel.mesh import make_mesh
+
         # dp must divide the batch: use the largest divisor of bs <= n devices
         dp = max(d for d in range(1, min(bs, n) + 1) if bs % d == 0)
         mesh = make_mesh({"dp": dp}, jax.devices()[:dp])
@@ -665,6 +728,7 @@ def main(argv=None):
     loop = TrainLoop(
         opt, trainer, args.synthetic, mesh=mesh,
         token_meta=getattr(train_ds, "meta", None),
+        pp_microbatches=pp_microbatches,
     )
 
     num_epochs = opt.get("num_epochs") or 100
@@ -713,6 +777,9 @@ def main(argv=None):
                     resume_path, target={"state": loop.state, "epoch": 0}
                 )
             loop.state = restored["state"]
+            # re-place the restored tree on the mesh (pp re-shards the block
+            # params; _distribute_state is idempotent)
+            loop._distribute_state()
             start_epoch = int(restored["epoch"]) + 1
             current_iter = int(jax.device_get(loop.state.step))
             # cumulative schedules ('schedule'/'linear2exp') must replay the
