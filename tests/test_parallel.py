@@ -521,3 +521,63 @@ def test_pp_train_step_matches_single_device():
         ),
         atol=2e-5,
     )
+
+
+def test_pp_denoise_flash_matches_unfused():
+    """pipeline_denoise(flash=True) — the path make_pp_train_step wires when
+    the trainer auto-enables the fused kernel — matches the unfused pipeline
+    (Pallas interpret mode off-TPU)."""
+    from text2human_tpu.parallel.pp import pipeline_denoise, shard_pp_params
+
+    mesh = make_mesh({"pp": 2, "dp": 4})
+    model = TransformerMultiHead(TP_CFG)
+    rng = np.random.default_rng(7)
+    b, t = 8, TP_CFG.block_size
+    tok = jnp.asarray(rng.integers(0, TP_CFG.vocab_size, (b, t)), jnp.int32)
+    segm = jnp.asarray(rng.integers(0, 16, (b, t)), jnp.int32)
+    tex = jnp.asarray(
+        rng.integers(0, TP_CFG.texture_codebook_size, (b, t)), jnp.int32
+    )
+    params = shard_pp_params(
+        mesh, model.init(jax.random.key(0), tok, tok, tok)["params"]
+    )
+    sh_tok, sh_segm, sh_tex = shard_batch(mesh, (tok, segm, tex))
+
+    ref = pipeline_denoise(model, mesh, num_microbatches=2)(
+        params, sh_tok, sh_segm, sh_tex
+    )
+    got = pipeline_denoise(model, mesh, num_microbatches=2, flash=True)(
+        params, sh_tok, sh_segm, sh_tex
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(got)),
+        np.asarray(jax.device_get(ref)),
+        atol=2e-4,
+    )
+
+
+def test_pp_opt_state_moments_shard():
+    """shard_pp_params on the optimizer state pp-shards the adam moments of
+    the blocks (the --pp --resume layout in cli/train.py) while scalar counts
+    stay replicated."""
+    from text2human_tpu.parallel.pp import pp_param_specs, shard_pp_params
+
+    mesh = make_mesh({"pp": 2, "dp": 4})
+    trainer = SamplerTrainer(
+        TP_CFG, img_cfg=None, img_quant=None, segm_cfg=None, segm_quant=None
+    )
+    state = trainer.init_state(jax.random.key(0))
+    sh_opt = shard_pp_params(mesh, state.opt_state)
+
+    specs = pp_param_specs(state.opt_state)
+    flat = jax.tree_util.tree_leaves_with_path(sh_opt)
+    n_pp = 0
+    for path, leaf in flat:
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        spec = leaf.sharding.spec if hasattr(leaf.sharding, "spec") else None
+        if "blocks" in keys and leaf.ndim >= 1:
+            assert spec == P("pp"), (keys, spec)
+            n_pp += 1
+        elif leaf.ndim == 0:
+            assert spec in (P(), None), (keys, spec)
+    assert n_pp > 0  # adam mu/nu block moments found and sharded

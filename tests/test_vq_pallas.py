@@ -103,3 +103,32 @@ def test_pallas_vq_multi_chunk_grid(rng):
         )
     )
     np.testing.assert_array_equal(got2, np.full(8, 3, np.int32))
+
+
+def test_vq_impl_cli_flag():
+    """--vq-impl flag (cli/common.py) drives ops.quantize.set_vq_impl; the
+    parity-sensitive CLIs (convert/evaluate) default to the exact 'xla'
+    search, the throughput CLIs (sample/tokenize) keep 'auto'."""
+    import argparse
+
+    from text2human_tpu.cli.common import add_vq_impl_flag, apply_vq_impl
+    from text2human_tpu.ops import quantize as Q
+
+    prev = Q._VQ_IMPL
+    try:
+        p = argparse.ArgumentParser()
+        add_vq_impl_flag(p, default="xla")
+        args = p.parse_args([])
+        assert args.vq_impl == "xla"  # parity default
+        apply_vq_impl(args)
+        assert Q._VQ_IMPL == "xla"
+
+        args = p.parse_args(["--vq-impl", "pallas"])
+        apply_vq_impl(args)
+        assert Q._VQ_IMPL == "pallas"
+
+        p2 = argparse.ArgumentParser()
+        add_vq_impl_flag(p2)  # throughput default
+        assert p2.parse_args([]).vq_impl == "auto"
+    finally:
+        Q.set_vq_impl(prev)

@@ -69,7 +69,16 @@ def main(argv=None):
                          "keys + 'lin*.model.1.weight' heads")
     lp.add_argument("--out", required=True, help="output .npz path")
 
+    from text2human_tpu.cli.common import add_vq_impl_flag, apply_vq_impl
+
+    # conversion itself is pure weight re-layout (no codebook search runs),
+    # but downstream golden validation of an imported checkpoint is parity-
+    # sensitive — default the whole import workflow to the exact search
+    for p in (imp, asm, exp, lp):
+        add_vq_impl_flag(p, default="xla")
+
     args = parser.parse_args(argv)
+    apply_vq_impl(args)
 
     if args.cmd == "import-pipeline":
         from text2human_tpu.utils.checkpoint import save_checkpoint

@@ -59,12 +59,16 @@ def main(argv=None):
     fid.add_argument("--lpips-weights", default="",
                      help="converted VGG16 weights for the fallback extractor")
     fid.add_argument("--cpu", action="store_true")
+    from text2human_tpu.cli.common import add_vq_impl_flag, apply_vq_impl
+
+    add_vq_impl_flag(fid, default="xla")
     args = parser.parse_args(argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    apply_vq_impl(args)
     from text2human_tpu.utils.misc import enable_compilation_cache
 
     enable_compilation_cache()

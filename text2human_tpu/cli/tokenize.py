@@ -67,10 +67,14 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true",
                         help="tokenize the synthetic dataset (smoke/debug)")
     parser.add_argument("--cpu", action="store_true")
+    from text2human_tpu.cli.common import add_vq_impl_flag, apply_vq_impl
+
+    add_vq_impl_flag(parser)
     args = parser.parse_args(argv)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    apply_vq_impl(args)
 
     from text2human_tpu.cli.builders import build_trainer
     from text2human_tpu.cli.train import TrainLoop, make_dataset, to_device_batch

@@ -205,17 +205,19 @@ class TrainLoop:
         if self.pp_microbatches:
             # pp layout: block params sharded on the pp axis, everything else
             # (embeddings/heads, optimizer counts) replicated.  Optimizer
-            # moments are placed replicated here — fresh init holds zeros and
-            # a resumed tree predates the mesh — and the first donated step's
-            # output adopts the pp-sharded layout XLA derives from the grads,
-            # so the steady state is sharded either way.  Idempotent: called
-            # again after --resume swaps in the restored state.
+            # moments are param-shaped, so they take the same pp layout as the
+            # params directly — no device ever holds the full moment tree and
+            # the first step compiles against the steady-state sharding
+            # (matters most on --resume, where the moments are real data).
+            # Idempotent: called again after --resume swaps in the restored
+            # state.
             from text2human_tpu.parallel.pp import (
                 make_pp_train_step, shard_pp_params,
             )
 
             self.state = replicate_tree(self.mesh, self.state).replace(
-                params=shard_pp_params(self.mesh, self.state.params)
+                params=shard_pp_params(self.mesh, self.state.params),
+                opt_state=shard_pp_params(self.mesh, self.state.opt_state),
             )
             if self._pp_step is None:
                 self._pp_step = make_pp_train_step(

@@ -54,6 +54,17 @@ def _attn_kernel_btc(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, n_head: int
         o_ref[0, :, cols] = o.astype(o_ref.dtype)
 
 
+def _vma_of(*xs):
+    """Varying-manual-axes union of the inputs.  ``pallas_call`` inside
+    ``jax.shard_map`` (check_vma=True, the default) requires ``out_shape``
+    to declare how the output varies over the manual mesh axes; outside
+    shard_map this is the empty set and a no-op."""
+    vma = frozenset()
+    for x in xs:
+        vma |= getattr(jax.typeof(x), "vma", frozenset())
+    return vma
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_head", "sm_scale", "block_heads", "interpret")
 )
@@ -92,7 +103,7 @@ def fused_attention_btc(
         functools.partial(
             _attn_kernel_btc, sm_scale=sm_scale, n_head=block_heads
         ),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t, c), q.dtype, vma=_vma_of(q, k, v)),
         grid=(b, n_blocks),
         in_specs=[spec, spec, spec],
         out_specs=spec,
@@ -171,7 +182,7 @@ def _attn_bwd_btc(q, k, v, do, n_head: int, sm_scale: float, interpret: bool):
     spec = pl.BlockSpec(
         (1, t, bc), lambda ib, ih: (ib, 0, ih), memory_space=pltpu.VMEM
     )
-    shape = jax.ShapeDtypeStruct((b, t, c), q.dtype)
+    shape = jax.ShapeDtypeStruct((b, t, c), q.dtype, vma=_vma_of(q, k, v, do))
     return pl.pallas_call(
         functools.partial(
             _attn_bwd_kernel_btc, sm_scale=sm_scale, n_head=block_heads
@@ -304,6 +315,50 @@ def _trainable_attention(n_head: int, sm_scale: float, interpret: bool):
     return attn
 
 
+def _unfused_attn_btc(q, k, v, n_head: int, sm_scale: float):
+    """Reference math of the fused kernel on the packed [B,T,C] layout —
+    identical precision choices (f32 scores/softmax, activation-dtype PV
+    matmul with f32 accumulation)."""
+    b, t, c = q.shape
+    d = c // n_head
+    qh = q.reshape(b, t, n_head, d)
+    kh = k.reshape(b, t, n_head, d)
+    vh = v.reshape(b, t, n_head, d)
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+    ) * sm_scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    o = jnp.einsum(
+        "bhqk,bkhd->bqhd", p, vh, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
+    return o.reshape(b, t, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _manual_trainable(n_head: int, sm_scale: float, interpret: bool):
+    """custom_vjp fused attention WITHOUT the custom_partitioning wrapper,
+    for calls already inside ``jax.shard_map`` manual mode (the pp trunk):
+    each device holds its own microbatch shard, so the kernels run directly
+    — a partitioning rule would be meaningless there."""
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return fused_attention_btc(
+            q, k, v, n_head=n_head, sm_scale=sm_scale, interpret=interpret
+        )
+
+    def fwd(q, k, v):
+        return attn(q, k, v), (q, k, v)
+
+    def bwd(res, do):
+        q, k, v = res
+        return _attn_bwd_btc(q, k, v, do.astype(q.dtype), n_head, sm_scale,
+                             interpret)
+
+    attn.defvjp(fwd, bwd)
+    return attn
+
+
 def fused_attention_btc_trainable(
     q: jax.Array,
     k: jax.Array,
@@ -315,6 +370,16 @@ def fused_attention_btc_trainable(
     """Differentiable fused attention ([B,T,C] packed layout): the forward
     kernel plus a VMEM-resident backward (scores never hit HBM in either
     direction)."""
+    if _vma_of(q, k, v):
+        # inside shard_map manual mode (parallel/pp.py pipeline stages)
+        if interpret:
+            # the Pallas HLO interpreter cannot run under shard_map's vma
+            # checking (its internal dynamic_slice mixes varying types —
+            # jax 0.9.0 limitation, CPU tests only); run the numerically
+            # identical unfused math so tests still cover this wiring.  On
+            # TPU the compiled kernel path below runs.
+            return _unfused_attn_btc(q, k, v, n_head, float(sm_scale))
+        return _manual_trainable(n_head, float(sm_scale), interpret)(q, k, v)
     return _trainable_attention(n_head, float(sm_scale), interpret)(q, k, v)
 
 
@@ -355,7 +420,9 @@ def fused_attention(
     spec = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, sm_scale=sm_scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, t, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b * h, t, d), q.dtype, vma=_vma_of(q, k, v)
+        ),
         grid=(b * h,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
