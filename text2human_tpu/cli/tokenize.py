@@ -39,6 +39,15 @@ def _hierarchy_top_params(opt, trainer, ds, synthetic):
     import jax.numpy as jnp
 
     path = opt.get("top_vae_path")
+    if path and osp.isdir(path):
+        from text2human_tpu.utils.native_frozen import native_top_params
+
+        top = native_top_params(path)
+        return {
+            "top_encoder": top["encoder"],
+            "top_quant_conv": top["quant_conv"],
+            "top_quantize": top["quantize"],
+        }
     if path and osp.exists(path) and not synthetic:
         from text2human_tpu.utils import torch_import as ti
 
@@ -66,6 +75,12 @@ def main(argv=None):
                         help="flip variants (default: 2 for train, 1 otherwise)")
     parser.add_argument("--synthetic", action="store_true",
                         help="tokenize the synthetic dataset (smoke/debug)")
+    parser.add_argument("--fixture", action="store_true",
+                        help="tokenize the structured fixture dataset with "
+                             "REAL frozen checkpoints (native campaign runs "
+                             "without DeepFashion files); the cache carries "
+                             "real-cache semantics incl. checkpoint "
+                             "fingerprints")
     parser.add_argument("--cpu", action="store_true")
     from text2human_tpu.cli.common import add_vq_impl_flag, apply_vq_impl
 
@@ -86,6 +101,8 @@ def main(argv=None):
     enable_compilation_cache()
     logger = get_root_logger()
     opt = parse(args.opt, is_train=True)
+    if args.fixture:
+        opt["fixture"] = True
     mt = opt["model_type"]
     # keys: jobs with frozen tokenizers; values: the checkpoints a REAL
     # cache build requires (the hierarchy GAN job freezes only its top path

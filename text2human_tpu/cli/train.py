@@ -120,6 +120,25 @@ def make_dataset(opt: Dict[str, Any], split: str, synthetic: bool):
                 base, osp.join(tc, split), xflip=_train_xflip(opt, split)
             )
         return TokenDataset(osp.join(tc, split), xflip=_train_xflip(opt, split))
+    if opt.get("fixture"):
+        # --fixture: the structured, learnable dataset (every field a
+        # function of a small latent — data/datasets.py) at full network
+        # resolution.  Unlike --synthetic this is a REAL run in every other
+        # respect: frozen checkpoints are required and loaded, caches are
+        # fingerprint-checked — it exists so full-size training campaigns
+        # can run end-to-end on hardware without the DeepFashion files.
+        from text2human_tpu.data.datasets import OverfitFixtureDataset
+
+        length = opt.get("synthetic_length") or 8 * (opt.get("batch_size") or 4)
+        # non-train splits: a disjoint held-out index range, 1/8 the size
+        val_len = max(length // 8, opt.get("batch_size") or 4)
+        return OverfitFixtureDataset(
+            length=length if split == "train" else val_len,
+            resolution=opt.get("synthetic_resolution") or _net_resolution(opt),
+            bands=opt.get("fixture_bands") or 4,
+            rich=bool(opt.get("fixture_rich")),
+            offset=0 if split == "train" else length,
+        )
     if synthetic:
         # synthetic images must match the configured network resolution
         res = opt.get("synthetic_resolution") or _net_resolution(opt)
@@ -384,6 +403,12 @@ class TrainLoop:
                     "index-prediction training needs both top_vae_path and "
                     f"bot_vae_path checkpoints; missing: {missing}"
                 )
+            if osp.isdir(top) and osp.isdir(bot):
+                from text2human_tpu.utils.native_frozen import (
+                    native_hierarchy_params,
+                )
+
+                return native_hierarchy_params(top, bot)
             from text2human_tpu.utils.torch_import import convert_hierarchy_params
 
             return convert_hierarchy_params(top, bot)
@@ -400,6 +425,17 @@ class TrainLoop:
 
     def _frozen_params(self, path_key: str, random_init):
         path = self.opt.get(path_key)
+        if path and osp.isdir(path):
+            # native orbax checkpoint from a cli/train.py run of the
+            # upstream job — the all-native dependency chain
+            # (utils/native_frozen.py); loads even under --synthetic, since
+            # a native checkpoint carries this framework's own dims
+            from text2human_tpu.utils import native_frozen as nf
+
+            if path_key in ("img_ae_path", "top_vae_path"):
+                return nf.native_top_params(path)
+            if path_key == "segm_ae_path":
+                return nf.native_segm_params(path)
         if path and osp.exists(path) and not self.synthetic:
             from text2human_tpu.utils import torch_import as ti
 
@@ -424,9 +460,16 @@ class TrainLoop:
         path = self.opt.get(path_key)
         if not (path and osp.exists(path)) or self.synthetic:
             return
-        from text2human_tpu.utils import torch_import as ti
+        if osp.isdir(path):
+            # native top checkpoint (utils/native_frozen.py); the GAN tree
+            # keeps its own disc — only the gen warm-start applies
+            from text2human_tpu.utils.native_frozen import native_top_params
 
-        top = ti.convert_top_vqgan(ti.load_pth(path))
+            top = {"params": native_top_params(path)}
+        else:
+            from text2human_tpu.utils import torch_import as ti
+
+            top = ti.convert_top_vqgan(ti.load_pth(path))
         gen = dict(self.state.params["gen"])
         gen["top_encoder"] = top["params"]["encoder"]
         gen["decoder"] = top["params"]["decoder"]
@@ -650,6 +693,12 @@ def main(argv=None):
     parser.add_argument("-opt", required=True)
     parser.add_argument("--synthetic", action="store_true",
                         help="train on synthetic data (smoke/debug)")
+    parser.add_argument("--fixture", action="store_true",
+                        help="train on the structured learnable fixture "
+                             "dataset at full network resolution; unlike "
+                             "--synthetic, checkpoints/caches keep their "
+                             "real-run semantics (full-size hardware "
+                             "campaigns without DeepFashion files)")
     parser.add_argument("--max-iters", type=int, default=0)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (debug runs)")
@@ -680,6 +729,8 @@ def main(argv=None):
     enable_compilation_cache()
 
     opt = parse(args.opt, is_train=True)
+    if args.fixture:
+        opt["fixture"] = True
     make_exp_dirs(opt)
     logger = get_root_logger(
         log_file=osp.join(opt["path"]["log"], f"train_{opt['name']}.log")

@@ -344,12 +344,22 @@ class OverfitFixtureDataset:
         num_segm_classes: int = 24,
         num_textures: int = 18,
         bands: int = 4,
+        rich: bool = False,
+        offset: int = 0,
     ):
         self.length = length
         self.res = resolution
         self.num_segm_classes = num_segm_classes
         self.num_textures = num_textures
         self.bands = bands
+        # rich=True: per-index deterministic random band classes/widths and a
+        # within-class stripe texture — thousands of DISTINCT samples instead
+        # of the ~num_segm_classes/gcd cyclic layouts of the default, so
+        # full-size training campaigns (cli/train.py --fixture) see a real
+        # joint distribution rather than a handful of memorizable images
+        self.rich = rich
+        # index offset: disjoint splits (a val set the train run never saw)
+        self.offset = offset
 
     def __len__(self):
         return self.length
@@ -362,19 +372,46 @@ class OverfitFixtureDataset:
         return np.stack([r, g, b], axis=-1).astype(np.float32)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        index = index + self.offset
         h, w = self.res, self.res // 2
         xs = np.arange(w)
-        band = np.minimum(xs * self.bands // w, self.bands - 1)
-        classes = np.array(
-            [(index * self.bands + k) % self.num_segm_classes
-             for k in range(self.bands)]
-        )
+        if self.rich:
+            rng = np.random.default_rng(1000003 * index + 17)
+            classes = rng.choice(
+                self.num_segm_classes, size=self.bands, replace=False
+            )
+            # random band widths: cuts drawn without replacement so every
+            # band is at least one column wide
+            cuts = np.sort(rng.choice(np.arange(1, w), self.bands - 1,
+                                      replace=False))
+            band = np.searchsorted(cuts, xs, side="right")
+        else:
+            band = np.minimum(xs * self.bands // w, self.bands - 1)
+            classes = np.array(
+                [(index * self.bands + k) % self.num_segm_classes
+                 for k in range(self.bands)]
+            )
         segm_row = classes[band]  # [W]
         segm = np.broadcast_to(segm_row, (h, w)).astype(np.float32)
 
         grad = (np.arange(h, dtype=np.float32) / max(h - 1, 1) * 0.4 - 0.2)
         image = self.class_color(segm_row)[None] * 0.8 + grad[:, None, None]
         image = np.broadcast_to(image, (h, w, 3)).astype(np.float32).copy()
+        if self.rich:
+            # class-dependent horizontal stripes: real within-class texture
+            # the tokenizers must encode (period/phase are functions of the
+            # class id, amplitude of the sample), plus a light deterministic
+            # per-sample tint so identical layouts remain distinguishable
+            period = 4 + (segm_row.astype(np.int64) * 7) % 13  # [W]
+            phase = (segm_row.astype(np.int64) * 3) % 5
+            stripe = np.sin(
+                (np.arange(h)[:, None] + phase[None, :])
+                * (2.0 * np.pi / period[None, :])
+            ).astype(np.float32)
+            amp = 0.1 + 0.1 * float(rng.uniform())
+            tint = rng.uniform(-0.05, 0.05, size=(1, 1, 3)).astype(np.float32)
+            image = image + amp * stripe[..., None] + tint
+            image = np.clip(image, -1.0, 1.0)
 
         densepose = (segm / (self.num_segm_classes - 1) * 2.0 - 1.0)[..., None]
         attr = np.array(

@@ -39,8 +39,29 @@ def checkpoint_fingerprint(path: str) -> Dict[str, Any]:
     Cache builds record this per required checkpoint; training compares it
     so cached indices are never gathered against a codebook from a
     DIFFERENT checkpoint than the one that produced them — that trains on
-    garbage top features with no error anywhere."""
+    garbage top features with no error anywhere.
+
+    Native orbax checkpoints (utils/native_frozen.py) are directories: the
+    fingerprint covers every file's relative path + size plus head/tail
+    bytes of each, so a re-trained checkpoint written to the same directory
+    changes the hash."""
     h = hashlib.sha256()
+    if os.path.isdir(path):
+        total = 0
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for name in sorted(files):
+                fp = os.path.join(root, name)
+                size = os.path.getsize(fp)
+                total += size
+                h.update(os.path.relpath(fp, path).encode())
+                h.update(str(size).encode())
+                with open(fp, "rb") as f:
+                    h.update(f.read(1 << 20))
+                    if size > (2 << 20):
+                        f.seek(-(1 << 20), 2)
+                        h.update(f.read(1 << 20))
+        return {"size": total, "sha256": h.hexdigest()}
     size = os.path.getsize(path)
     with open(path, "rb") as f:
         h.update(f.read(1 << 20))
