@@ -16,7 +16,11 @@ from text2human_tpu.config import (
 )
 from text2human_tpu.models.fcn import FCNHead, MultiHeadFCNHead
 from text2human_tpu.models.shape_attr import ShapeAttrEmbedding
-from text2human_tpu.models.transformer import TransformerMultiHead, select_head_logits
+from text2human_tpu.models.transformer import (
+    TransformerMultiHead,
+    ragged_head_groups,
+    select_head_logits,
+)
 from text2human_tpu.models.unet import ShapeUNet, UNet
 from text2human_tpu.models.vqgan import Decoder, DecoderRes, Discriminator, Encoder
 
@@ -183,6 +187,14 @@ def test_transformer_select_heads_matches_full():
         params, idx, segm, tex, select_heads=True, ragged_heads=True
     )
     np.testing.assert_allclose(np.asarray(ragged), np.asarray(sel), atol=1e-4)
+    # precomputed head_groups (the sort hoisted out of a decode scan) must be
+    # bit-identical to the in-body sort path
+    groups = ragged_head_groups(tex, TINY_TF.num_output_heads)
+    hoisted = tf.apply(
+        params, idx, segm, tex,
+        select_heads=True, ragged_heads=True, head_groups=groups,
+    )
+    np.testing.assert_array_equal(np.asarray(hoisted), np.asarray(ragged))
 
 
 def test_transformer_causal_mode():

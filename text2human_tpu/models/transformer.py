@@ -16,7 +16,7 @@ TPU-first choices:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -206,6 +206,24 @@ def _encode_trunk(
     return nn.LayerNorm(dtype=jnp.float32, name="ln_f")(x.astype(jnp.float32))
 
 
+def ragged_head_groups(
+    texture_tokens: jax.Array, num_heads: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Precompute the ragged-head sort for ``TransformerMultiHead``.
+
+    Returns ``(order, inv, group_sizes)`` over the flattened B*T positions:
+    ``order`` sorts positions by active head, ``inv`` undoes the sort,
+    ``group_sizes`` counts positions per head.  The assignment depends only
+    on ``texture_tokens`` — constant across a decode — so sample loops
+    compute this once and pass it as ``head_groups`` to every trunk pass."""
+    tex = jnp.clip(texture_tokens.astype(jnp.int32), 0, num_heads - 1)
+    tf = tex.reshape(-1)
+    order = jnp.argsort(tf)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(tf.shape[0]))
+    group_sizes = jnp.bincount(tf, length=num_heads).astype(jnp.int32)
+    return order, inv, group_sizes
+
+
 class TransformerMultiHead(nn.Module):
     cfg: TransformerConfig
     dtype: jnp.dtype = jnp.float32
@@ -222,6 +240,7 @@ class TransformerMultiHead(nn.Module):
         flash: bool = False,
         bf16_scores: bool = False,
         ragged_heads: bool = False,
+        head_groups: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     ) -> jax.Array:
         """idx/segm_tokens/texture_tokens: [B, T] int32.
 
@@ -241,6 +260,15 @@ class TransformerMultiHead(nn.Module):
         MXU), then unsorted.  Identical math (each output row is a single
         x·W_k dot product); measured 2.8x faster than the masked loop at
         serving shapes (~7% of the decode step, BENCHMARKS.md).
+
+        ``head_groups`` optionally supplies the precomputed
+        ``ragged_head_groups(texture_tokens, K)`` sort for the ragged path.
+        The head assignment is constant across a whole decode, so callers
+        that apply the trunk inside a scan (pipelines/sample.py) hoist the
+        argsort/bincount out of the loop instead of re-sorting every step
+        (TPU sorts are bitonic — O(T log^2 T) vector work per step that the
+        MXU can't help with, and XLA's LICM does not reliably lift sorts out
+        of while bodies).  Identical math by construction.
         """
         cfg = self.cfg
         init02 = nn.initializers.normal(stddev=0.02)
@@ -266,19 +294,16 @@ class TransformerMultiHead(nn.Module):
                 # assignment is constant across the whole decode scan) and
                 # run one grouped matmul over the sorted rows.
                 xf = x.reshape(b * t, -1)
-                tf = tex.reshape(b * t)
-                order = jnp.argsort(tf)
+                if head_groups is None:
+                    head_groups = ragged_head_groups(tex, cfg.num_output_heads)
+                order, inv, group_sizes = head_groups
                 xs = jnp.take(xf, order, axis=0)
-                group_sizes = jnp.bincount(
-                    tf, length=cfg.num_output_heads
-                ).astype(jnp.int32)
                 out = jax.lax.ragged_dot(
                     xs,
                     heads.astype(self.dtype),
                     group_sizes,
                     preferred_element_type=jnp.float32,
                 )
-                inv = jnp.zeros_like(order).at[order].set(jnp.arange(b * t))
                 return jnp.take(out, inv, axis=0).reshape(
                     b, t, cfg.head_class_num
                 )

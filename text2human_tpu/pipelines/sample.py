@@ -43,7 +43,10 @@ from text2human_tpu.models.composites import (
     ParsingGenerator,
     SegmVQVAE,
 )
-from text2human_tpu.models.transformer import TransformerMultiHead
+from text2human_tpu.models.transformer import (
+    TransformerMultiHead,
+    ragged_head_groups,
+)
 from text2human_tpu.ops.nn import nearest_downsample_mask
 
 from text2human_tpu.constants import (
@@ -255,6 +258,18 @@ class SamplePipeline:
         # that made round-1 throughput peak at batch 4.
         autoregressive = self.cfgs.transformer.sampler == "autoregressive"
 
+        # The ragged-head sort depends only on texture_tokens — constant
+        # across the whole decode — so hoist the argsort/bincount out of the
+        # sample scan (256 bitonic sorts -> 1; XLA's LICM does not reliably
+        # lift sorts out of while bodies).  Under the dp shard_map the sort
+        # must stay in-body: order/inv are flattened row indices, which are
+        # shard-local there.
+        head_groups = None
+        if self.ragged_heads and self.mesh is None:
+            head_groups = ragged_head_groups(
+                texture_tokens, self.cfgs.transformer.num_output_heads
+            )
+
         def apply_trunk(p, x_t, st, tt):
             return self.denoiser.apply(
                 {"params": p},
@@ -266,6 +281,7 @@ class SamplePipeline:
                 # (autoregressive) mode decodes through the einsum path
                 flash=self.fused_attn and not autoregressive,
                 ragged_heads=self.ragged_heads,
+                head_groups=head_groups,
             )
 
         if self.mesh is not None and not self._tp_serving:
