@@ -204,4 +204,4 @@ def test_aot_autoregressive_keys_match_serving_dispatch(tmp_path):
     aot.export_serving(pipe, params, path, batch_sizes=(1,), with_pose=False)
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    assert list(payload["blobs"]["_sample"]) == [(1, 0)]
+    assert list(payload["blobs"]["_sample"]) == [(1, 0, "")]

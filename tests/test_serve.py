@@ -349,6 +349,80 @@ def test_dynamic_batcher_sheds_timed_out_requests():
     assert ["abandoned"] not in ran  # shed, never executed
 
 
+def test_serve_mixed_decode_modes():
+    """Per-request decode presets: faithful and fast requests in the same
+    burst succeed, batch into their OWN groups (a group per compiled
+    program), and invalid/disabled modes are 400s (VERDICT r3 task 5)."""
+    opt = parse("configs/debug/sample_from_pose_debug.yml", is_train=False)
+    server = build_server(
+        opt, synthetic=True, port=0, max_batch=4, window_ms=1500.0,
+        fast_steps=2,
+    )
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def gen(mode):
+            body = {"shape_text": "a woman, T-shirt, pants",
+                    "texture_text": "pure color, denim"}
+            if mode:
+                body["mode"] = mode
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        # mixed burst: 2 faithful + 2 fast, all in one collect window
+        with ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(gen, ["", "fast", "faithful", "fast"]))
+        assert [c for c, _ in outs] == [200] * 4
+        for _, out in outs:
+            assert out["image_png_b64"]
+        # 4 requests ran as exactly 2 groups of 2 (one per preset/program)
+        sizes = server.batcher.sizes_snapshot()
+        assert sum(sizes) == 4
+        assert sorted(sizes) == [2, 2], sizes
+
+        # validation: unknown mode is a 400, steps must match the preset
+        code, err = gen("turbo")
+        assert code == 400 and "unknown mode" in err["error"]
+        body = {"mode": "fast", "sample_steps": 3}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
+
+    # a server without --fast-steps refuses the fast preset loudly
+    server = build_server(opt, synthetic=True, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"mode": "fast"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+        assert "fast preset not enabled" in json.loads(ei.value.read())["error"]
+    finally:
+        server.shutdown()
+
+
 def test_client_error_mappings_and_stats_canonicalization():
     """Malformed-but-parseable bodies and non-string text fields are 400s
     (never 500s that would fail a coalesced batch), and stats key by the

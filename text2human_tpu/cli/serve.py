@@ -8,8 +8,13 @@ GET  /healthz   -> {"status": "ok", "backend": ...}
 
 POST /generate with JSON (stateless one-shot):
   {"shape_text": "...", "texture_text": "...",
-   "pose_png_b64": "<base64 densepose png>"}      # optional; random if absent
+   "pose_png_b64": "<base64 densepose png>",      # optional; random if absent
+   "mode": "faithful" | "fast"}                   # optional decode preset
 -> {"image_png_b64": ..., "parsing_png_b64": ...}
+
+"mode": "fast" runs the maskgit decode at --fast-steps (when enabled) —
+faithful and fast requests batch into their own compiled programs, so a
+deployment offers both side by side without recompiles.
 
 Stepwise session API (mirrors ui.session.InteractiveSession; one session per
 server process like the reference's one demo window):
@@ -125,7 +130,9 @@ def choose_pad_size(n: int, max_batch: int, small: int = 4) -> int:
     return max_batch
 
 
-def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
+def make_batched_generate(
+    session, opt, lock, max_batch: int, window_ms: float
+):
     """Dynamic batcher for the stateless /generate route: concurrent requests
     coalesce into one padded TPU batch (pipelines/batching.py).  Serialized
     against the interactive session's TPU calls through the same lock."""
@@ -166,7 +173,8 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
         with lock:  # one TPU program at a time (shared with /session/*)
             key_state["key"], sub = jax.random.split(key_state["key"])
             imgs, segm = pipe.sample_from_pose(
-                params, sub, pose, shape_attr, up, lo, ou, items[0]["steps"]
+                params, sub, pose, shape_attr, up, lo, ou,
+                items[0]["steps"], items[0].get("mode", ""),
             )
             # quantize to uint8 ON DEVICE (same rounding as to_uint8): the
             # device->host copy shrinks 4x — at batch 16 that is 25 MB -> 6 MB
@@ -178,23 +186,27 @@ def make_batched_generate(session, opt, lock, max_batch: int, window_ms: float):
             segm = np.asarray(segm[:n].astype(jnp.uint8))
         return [(imgs_u8[i], segm_to_palette(segm[i])) for i in range(n)]
 
-    # the AR decode ignores sample_steps (it always runs one pass per
-    # position) — collapse it in the group key so step-count variations
+    # the AR decode ignores sample_steps/decode_mode (it always runs one pass
+    # per position) — collapse them in the group key so request variations
     # still coalesce into one batch / one compiled program
     ar = pipe.cfgs.transformer.sampler == "autoregressive"
     return DynamicBatcher(
         run_batch,
         max_batch=max_batch,
         window_ms=window_ms,
-        # different pose shapes / step counts are different compiled programs
-        group_key=lambda it: (it["pose_i"].shape, 0 if ar else it["steps"]),
+        # different pose shapes / step counts / decode modes are different
+        # compiled programs — faithful and fast requests batch separately
+        group_key=lambda it: (
+            it["pose_i"].shape,
+            (0, "") if ar else (it["steps"], it.get("mode", "")),
+        ),
         # a cold start with an empty XLA cache compiles the full pipeline
         # (minutes over the serving tunnel); queued requests must outlive it
         result_timeout_s=1800.0,
     )
 
 
-def make_handler(session, opt, lock, batcher, stats=None):
+def make_handler(session, opt, lock, batcher, stats=None, fast_steps: int = 0):
     from PIL import Image
 
     from text2human_tpu.ui.session import segm_to_palette
@@ -207,22 +219,49 @@ def make_handler(session, opt, lock, batcher, stats=None):
         Image.fromarray(arr_uint8).save(buf, format="PNG")
         return base64.b64encode(buf.getvalue()).decode()
 
-    def sanitize_steps(req):
-        """Clamp client-controlled sample_steps to the configured program.
+    ar_sampler = session.pipe.cfgs.transformer.sampler == "autoregressive"
 
-        sample_steps is a STATIC jit argument: every distinct value is a
-        full-pipeline XLA recompile (minutes over a serving tunnel) executed
-        under the shared TPU lock — leaving it open is a recompile-DoS and
-        splits otherwise-identical requests across batcher groups.  Requests
-        may ask for the configured step count (explicitly or by omission);
-        anything else is a 400."""
+    def sanitize_decode(req):
+        """Clamp client-controlled sample_steps/mode to the served presets.
+
+        sample_steps and decode_mode are STATIC jit arguments: every distinct
+        combination is a full-pipeline XLA recompile (minutes over a serving
+        tunnel) executed under the shared TPU lock — leaving them open is a
+        recompile-DoS and splits otherwise-identical requests across batcher
+        groups.  Exactly two presets are served: ``mode: "faithful"`` (the
+        configured decode, the default) and — when --fast-steps is enabled —
+        ``mode: "fast"`` (maskgit at the configured fast step count).
+        Anything else is a 400.  Returns the canonical (steps, decode_mode)
+        pair for the batch group/program key."""
+        mode = req.get("mode", "")
         steps = int(req.get("sample_steps", 0) or 0)
         default = int(session.pipe.cfgs.sample_steps)
-        if steps in (0, default):
-            return 0  # one canonical value -> one program, one batch group
+        if mode in ("", "default", "faithful"):
+            if steps in (0, default):
+                return 0, ""  # one canonical key -> one program, one group
+            raise ValueError(
+                f"sample_steps={steps} not served (configured: {default}); "
+                "distinct step counts are distinct compiled programs "
+                '(use {"mode": "fast"} for the fast preset)'
+            )
+        if mode == "fast":
+            if fast_steps <= 0:
+                raise ValueError(
+                    "fast preset not enabled on this server (--fast-steps)"
+                )
+            if ar_sampler:
+                raise ValueError(
+                    "fast preset unavailable: the autoregressive decode has "
+                    "no step/mode knobs"
+                )
+            if steps in (0, fast_steps):
+                return fast_steps, "maskgit"
+            raise ValueError(
+                f"sample_steps={steps} not served in fast mode "
+                f"(configured: --fast-steps {fast_steps})"
+            )
         raise ValueError(
-            f"sample_steps={steps} not served (configured: {default}); "
-            "distinct step counts are distinct compiled programs"
+            f"unknown mode {mode!r} (served: 'faithful' (default), 'fast')"
         )
 
     def decode_pose(req):
@@ -327,7 +366,7 @@ def make_handler(session, opt, lock, batcher, stats=None):
             # coalesced batch (500s for innocent co-batched requests)
             if not isinstance(shape_text, str) or not isinstance(texture_text, str):
                 raise ValueError("shape_text/texture_text must be strings")
-            steps = sanitize_steps(req)
+            steps, mode = sanitize_decode(req)
             # always served through the batcher (a max-batch-1 batcher just
             # runs singles): the stateless route must never mutate the shared
             # InteractiveSession a /session/* user is editing through
@@ -337,6 +376,7 @@ def make_handler(session, opt, lock, batcher, stats=None):
                     "shape_text": shape_text,
                     "texture_text": texture_text,
                     "steps": steps,
+                    "mode": mode,
                 }
             )
             return 200, lambda: {
@@ -382,9 +422,11 @@ def make_handler(session, opt, lock, batcher, stats=None):
             return 200, payload
 
         def _route_session_generate(self, req):
+            steps, mode = sanitize_decode(req)
             img01 = session.generate_human(
                 req.get("texture_text", ""),
-                sample_steps=sanitize_steps(req),
+                sample_steps=steps,
+                decode_mode=mode,
             )
             img_u8 = to_uint8(img01)
             return 200, lambda: {"image_png_b64": png_b64(img_u8)}
@@ -408,6 +450,7 @@ def build_server(
     window_ms: float = 30.0,
     bf16_sampler: bool = False,
     aot_path: str = "",
+    fast_steps: int = 0,
 ):
     """/generate is always served through the dynamic batcher (so it never
     touches the shared interactive session); ``max_batch > 1`` lets
@@ -439,7 +482,9 @@ def build_server(
     session = InteractiveSession(pipe, params, seed=opt.get("manual_seed") or 0)
     lock = threading.Lock()
     batcher = make_batched_generate(session, opt, lock, max_batch, window_ms)
-    handler = make_handler(session, opt, lock, batcher)
+    handler = make_handler(
+        session, opt, lock, batcher, fast_steps=fast_steps
+    )
     class Server(ThreadingHTTPServer):
         # the stdlib default listen backlog of 5 resets connections the
         # moment a burst of concurrent clients exceeds it (measured: 32
@@ -451,6 +496,9 @@ def build_server(
     server.batcher = batcher  # observability (tests, ops)
     server.opt = opt  # warmup() needs the configured geometry
     server.session = session  # AOT export needs pipe + params
+    server.fast_steps = (
+        0 if pipe.cfgs.transformer.sampler == "autoregressive" else fast_steps
+    )  # warmup/AOT need the served presets (AR has none)
     return server
 
 
@@ -458,27 +506,33 @@ def warmup(server) -> float:
     """Push synthetic requests through the /generate batcher so the pipeline
     compiles (and lands in the persistent XLA cache) BEFORE the server starts
     answering real traffic — one single request (the small-padded program)
-    and, when the batcher is two-tier, one max_batch burst (the big one).
-    Returns the elapsed seconds."""
+    and, when the batcher is two-tier, one max_batch burst (the big one);
+    both again for the fast preset when --fast-steps is enabled.  Returns
+    the elapsed seconds."""
 
-    def item():
+    def item(steps=0, mode=""):
         return {
             "pose_i": synthetic_pose(server.opt),
             "shape_text": "a woman, T-shirt, pants",
             "texture_text": "pure color, pure color",
-            "steps": 0,
+            "steps": steps,
+            "mode": mode,
         }
 
+    presets = [(0, "")]
+    if server.fast_steps > 0:
+        presets.append((server.fast_steps, "maskgit"))
     t0 = time.time()
-    server.batcher.submit(item())
     mb = server.batcher.max_batch
-    if choose_pad_size(1, mb) != mb:
-        # call the batch runner DIRECTLY with a full max_batch burst: going
-        # through submit() lets the collect window split the burst into
-        # sub-batches that all pad to the small tier and re-run the
-        # already-compiled small program, leaving the big program to compile
-        # (minutes, under the TPU lock) on the first real burst
-        server.batcher.run_batch([item() for _ in range(mb)])
+    for steps, mode in presets:
+        server.batcher.submit(item(steps, mode))
+        if choose_pad_size(1, mb) != mb:
+            # call the batch runner DIRECTLY with a full max_batch burst:
+            # going through submit() lets the collect window split the burst
+            # into sub-batches that all pad to the small tier and re-run the
+            # already-compiled small program, leaving the big program to
+            # compile (minutes, under the TPU lock) on the first real burst
+            server.batcher.run_batch([item(steps, mode) for _ in range(mb)])
     return time.time() - t0
 
 
@@ -501,6 +555,15 @@ def main(argv=None):
         type=float,
         default=30.0,
         help="how long the first queued request waits for company",
+    )
+    parser.add_argument(
+        "--fast-steps",
+        type=int,
+        default=0,
+        help="serve a second decode preset: requests with {'mode': 'fast'} "
+        "run the maskgit schedule at this step count (e.g. 32) alongside "
+        "the configured faithful decode — each preset is its own compiled "
+        "program and batch group (0 = faithful only)",
     )
     parser.add_argument(
         "--bf16-sampler",
@@ -559,6 +622,7 @@ def main(argv=None):
         max_batch=args.max_batch, window_ms=args.batch_window_ms,
         bf16_sampler=args.bf16_sampler,
         aot_path="" if args.prime_cache else args.aot,
+        fast_steps=args.fast_steps,
     )
     if args.warmup or args.prime_cache:
         print("warmup: compiling the /generate pipeline…")
@@ -571,6 +635,10 @@ def main(argv=None):
             n = export_serving(
                 server.session.pipe, server.session.params, args.aot,
                 batch_sizes=serving_batch_tiers(args.max_batch),
+                extra_presets=(
+                    [(server.fast_steps, "maskgit")]
+                    if server.fast_steps > 0 else []
+                ),
             )
             print(f"AOT: exported {n} programs -> {args.aot} "
                   f"({time.time() - t0:.1f} s)")

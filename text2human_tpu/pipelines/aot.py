@@ -32,7 +32,9 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-FORMAT_VERSION = 1
+# v2: the _sample dispatch key grew a decode_mode field (per-request
+# faithful/fast serving) — v1 artifacts no longer match the call signature
+FORMAT_VERSION = 2
 
 
 def _sds(tree: Any) -> Any:
@@ -45,8 +47,12 @@ def _sds(tree: Any) -> Any:
     )
 
 
-def _stage_specs(pipe, params, b: int, steps: int, with_pose: bool):
-    """(stage, dispatch-key, example-args) triples for one batch size."""
+def _stage_specs(pipe, params, b: int, presets, with_pose: bool):
+    """(stage, dispatch-key, example-args) triples for one batch size.
+
+    ``presets`` is the list of (sample_steps, decode_mode) pairs the _sample
+    stage is compiled for — serving can offer faithful and fast decodes side
+    by side (cli/serve.py --fast-steps), each a distinct compiled program."""
     cfgs = pipe.cfgs
     res = cfgs.top.resolution
     h, w = res, res // 2
@@ -71,11 +77,12 @@ def _stage_specs(pipe, params, b: int, steps: int, with_pose: bool):
         )
     specs.append(("_tokenize_segm", (b,), (p, s((b, h, w), i32))))
     specs.append(("_tex_tokens", (b,), (s((b, h, w), f32),)))
-    specs.append(
-        ("_sample",
-         (b, steps),
-         (p, jax.random.key(0), s((b, t), i32), s((b, t), i32)))
-    )
+    for steps, mode in presets:
+        specs.append(
+            ("_sample",
+             (b, steps, mode),
+             (p, jax.random.key(0), s((b, t), i32), s((b, t), i32)))
+        )
     specs.append(("_decode", (b,), (p, s((b, t), i32), s((b, h, w), f32))))
     return specs
 
@@ -87,27 +94,41 @@ def export_serving(
     batch_sizes: Sequence[int] = (4,),
     sample_steps: int = 0,
     with_pose: bool = True,
+    extra_presets: Sequence[Tuple[int, str]] = (),
 ) -> int:
     """Compile + serialize every serving stage for ``batch_sizes``.
 
+    ``extra_presets`` adds (sample_steps, decode_mode) variants of the
+    sampler stage beyond the configured default — e.g. ``[(32, "maskgit")]``
+    for a fast preset served per-request (cli/serve.py --fast-steps).
     Returns the number of programs exported.  Compilation reuses the
     in-process/persistent caches, so exporting right after a warmup is cheap.
     """
     from jax.experimental.serialize_executable import serialize
 
     if pipe.cfgs.transformer.sampler == "autoregressive":
-        # sample_indices normalizes the static step arg to 0 in AR mode (the
-        # decode ignores it); the blob must be keyed the same way or serving
-        # would never dispatch the pre-built sampler
-        steps = 0
+        # sample_indices normalizes the static step/mode args to (0, "") in
+        # AR mode (the decode ignores them); the blob must be keyed the same
+        # way or serving would never dispatch the pre-built sampler
+        presets = [(0, "")]
     else:
         steps = int(sample_steps) or int(pipe.cfgs.sample_steps)
+        presets = [(steps, "")]
+        for s_, m_ in extra_presets:
+            # mirror sample_indices' normalization: the boot-time default
+            # mode keys as "" so request-level spellings share one program
+            m_ = "" if m_ == pipe.decode_mode else m_
+            if (int(s_), m_) not in presets:
+                presets.append((int(s_), m_))
     blobs: Dict[str, Dict[Tuple, Any]] = {}
     for b in batch_sizes:
-        for stage, dkey, args in _stage_specs(pipe, params, b, steps, with_pose):
+        for stage, dkey, args in _stage_specs(pipe, params, b, presets, with_pose):
             fn = getattr(pipe, stage)
             if stage == "_sample":
-                compiled = fn.lower(*args, sample_steps=steps).compile()
+                _, st_, md_ = dkey
+                compiled = fn.lower(
+                    *args, sample_steps=st_, decode_mode=md_
+                ).compile()
             else:
                 compiled = fn.lower(*args).compile()
             blob, in_tree, out_tree = serialize(compiled)
@@ -124,7 +145,7 @@ def export_serving(
         "jaxlib": jax.__version__,
         "platform": jax.devices()[0].platform,
         "device_kind": jax.devices()[0].device_kind,
-        "sample_steps": steps,
+        "sample_presets": presets,
         "blobs": blobs,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -188,11 +209,13 @@ def load_serving(pipe, path: str) -> int:
         count += len(loaded)
         orig = getattr(pipe, stage)
         if stage == "_sample":
-            def wrapper(p, key, st, tt, sample_steps, _l=loaded, _o=orig):
-                hit = _l.get((st.shape[0], sample_steps))
+            def wrapper(p, key, st, tt, sample_steps, decode_mode="",
+                        _l=loaded, _o=orig):
+                hit = _l.get((st.shape[0], sample_steps, decode_mode))
                 if hit is not None and avals_of((p, key, st, tt)) == hit[1]:
                     return hit[0](p, key, st, tt)
-                return _o(p, key, st, tt, sample_steps=sample_steps)
+                return _o(p, key, st, tt, sample_steps=sample_steps,
+                          decode_mode=decode_mode)
         else:
             # dispatch on the leading (batch) dim of the last array arg (the
             # batch input; params lead), then verify every input aval — a

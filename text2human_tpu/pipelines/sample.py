@@ -218,7 +218,9 @@ class SamplePipeline:
             n_embed_per_head=cfgs.transformer.head_class_num,
         )
         self._tokenize_segm = jax.jit(self._tokenize_segm_impl)
-        self._sample = jax.jit(self._sample_impl, static_argnames=("sample_steps",))
+        self._sample = jax.jit(
+            self._sample_impl, static_argnames=("sample_steps", "decode_mode")
+        )
         self._decode = jax.jit(self._decode_impl)
         self._parsing = jax.jit(self._parsing_impl)
         # small glue stages are jitted too: eagerly they cost dozens of
@@ -249,7 +251,8 @@ class SamplePipeline:
     # -- stage III: diffusion sampling of top indices (sample_model.py:256-328)
 
     def _sample_impl(
-        self, params, key, segm_tokens, texture_tokens, sample_steps: int
+        self, params, key, segm_tokens, texture_tokens, sample_steps: int,
+        decode_mode: str = "",
     ):
         # select_heads: emit only each position's active head — avoids the
         # [B,T,18,1024] logits tensor entirely (HBM-bound at batch >= 16).
@@ -305,7 +308,7 @@ class SamplePipeline:
             local, _ = sample_autoregressive(
                 key, self.diffusion, denoise, texture_tokens
             )
-        elif self.decode_mode == "maskgit":
+        elif (decode_mode or self.decode_mode) == "maskgit":
             local, _ = sample_maskgit(
                 key, self.diffusion, denoise, texture_tokens, sample_steps
             )
@@ -315,15 +318,27 @@ class SamplePipeline:
             )
         return local
 
-    def sample_indices(self, params, key, segm_tokens, texture_tokens, sample_steps=0):
+    def sample_indices(
+        self, params, key, segm_tokens, texture_tokens, sample_steps=0,
+        decode_mode: str = "",
+    ):
         if self.cfgs.transformer.sampler == "autoregressive":
             # the AR decode always runs one pass per position and ignores
-            # sample_steps; normalize the static jit arg so different step
-            # counts don't recompile an identical program
-            steps = 0
+            # sample_steps AND decode_mode; normalize both static jit args so
+            # request-level variations don't recompile an identical program
+            steps, mode = 0, ""
         else:
             steps = sample_steps or self.cfgs.sample_steps
-        return self._sample(params, key, segm_tokens, texture_tokens, steps)
+            # per-request decode schedule (serving offers faithful and fast
+            # decodes side-by-side — cli/serve.py); '' = the boot-time default
+            mode = decode_mode or self.decode_mode
+            if mode not in ("absorbing", "maskgit"):
+                raise ValueError(f"unknown decode_mode {mode!r}")
+            if mode == self.decode_mode:
+                mode = ""  # one canonical static key for the default mode
+        return self._sample(
+            params, key, segm_tokens, texture_tokens, steps, mode
+        )
 
     # -- stage II decode: top indices -> image (sample_model.py:215-254)
 
@@ -385,13 +400,14 @@ class SamplePipeline:
     # -- composite paths
 
     def sample_from_parsing(
-        self, params, key, segm: jax.Array, texture_mask: jax.Array, sample_steps=0
+        self, params, key, segm: jax.Array, texture_mask: jax.Array, sample_steps=0,
+        decode_mode: str = "",
     ) -> jax.Array:
         """GT parsing + texture mask -> image batch (SampleFromParsingModel)."""
         segm_tokens = self.tokenize_segm(params, segm)
         texture_tokens = self._tex_tokens(texture_mask)
         top_local = self.sample_indices(
-            params, key, segm_tokens, texture_tokens, sample_steps
+            params, key, segm_tokens, texture_tokens, sample_steps, decode_mode
         )
         return self.decode(params, top_local, texture_mask)
 
@@ -405,6 +421,7 @@ class SamplePipeline:
         lower_attr: jax.Array,
         outer_attr: jax.Array,
         sample_steps=0,
+        decode_mode: str = "",
     ) -> Tuple[jax.Array, jax.Array]:
         """DensePose + attributes -> (image batch, parsing maps)
         (SampleFromPoseModel.inference, sample_model.py:421-429)."""
@@ -412,7 +429,9 @@ class SamplePipeline:
         texture_mask = self._texture_mask(
             segm, upper_attr, lower_attr, outer_attr
         )
-        images = self.sample_from_parsing(params, key, segm, texture_mask, sample_steps)
+        images = self.sample_from_parsing(
+            params, key, segm, texture_mask, sample_steps, decode_mode
+        )
         return images, segm
 
 

@@ -180,7 +180,9 @@ class InteractiveSession:
 
     # -- step 4: texture text -> image (ui_demo.py:154-179)
 
-    def generate_human(self, texture_text: str, sample_steps: int = 0) -> np.ndarray:
+    def generate_human(
+        self, texture_text: str, sample_steps: int = 0, decode_mode: str = ""
+    ) -> np.ndarray:
         if self.segm is None:
             raise ValueError("generate_parsing first")
         attrs = generate_texture_attributes(texture_text)[:3]
@@ -189,6 +191,7 @@ class InteractiveSession:
         segm = jnp.asarray(self.segm)[None]
         texture_mask = texture_mask_from_segm(segm, upper, lower, outer)
         imgs = self.pipe.sample_from_parsing(
-            self.params, self._next_key(), segm, texture_mask, sample_steps
+            self.params, self._next_key(), segm, texture_mask, sample_steps,
+            decode_mode,
         )
         return np.asarray(imgs[0])
