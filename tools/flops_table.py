@@ -30,10 +30,32 @@ def stage_flops(fn, *args):
     return float(cost["flops"])
 
 
+def stage_bytes(fn, *args):
+    """Bytes accessed of one jitted call, from the OPTIMIZED (post-fusion)
+    cost analysis — requires compiling for the host backend, so it is an
+    estimate of TPU HBM traffic (CPU and TPU fusion decisions differ, but
+    the elementwise/conv fusion structure is close).  Used for the roofline
+    column on the conv stages; the scan-rolled trunk is excluded (its body
+    bytes are counted once, and its MFU story is compute-side anyway)."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("bytes accessed", float("nan")))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--bytes", action="store_true",
+        help="also compile each one-shot stage on the host backend and "
+        "report post-fusion bytes accessed (HBM-traffic estimate for the "
+        "roofline column; adds minutes of CPU compile time)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -80,6 +102,16 @@ def main():
     rows["tokenize_segm"] = stage_flops(pipe._tokenize_segm_impl, params, segm)
     rows["decode"] = stage_flops(pipe._decode_impl, params, tokens, texture_mask)
 
+    byte_rows = {}
+    if args.bytes:
+        byte_rows["parsing_gen"] = stage_bytes(
+            pipe._parsing_impl, params, pose, shape_attr
+        )
+        byte_rows["tokenize_segm"] = stage_bytes(pipe._tokenize_segm_impl, params, segm)
+        byte_rows["decode"] = stage_bytes(
+            pipe._decode_impl, params, tokens, texture_mask
+        )
+
     # One denoiser trunk pass — two cost-analysis artifacts to correct:
     #  1. the 24 blocks are rolled with nn.scan, whose body the analysis
     #     counts ONCE -> add (n_layers-1) extra block bodies;
@@ -124,13 +156,16 @@ def main():
     rows["end_to_end_maskgit32"] = total_fast
 
     print(f"# batch={b}, 512x256, bf16 sampler — FLOPs from XLA cost analysis")
-    print(f"{'stage':<28}{'GFLOP':>12}")
+    print(f"{'stage':<28}{'GFLOP':>12}{'GB':>10}{'FLOP/B':>10}")
     for k, v in rows.items():
-        print(f"{k:<28}{v / 1e9:>12.1f}")
+        gb = byte_rows.get(k)
+        gb_s = f"{gb / 1e9:>10.2f}" if gb else f"{'':>10}"
+        ai_s = f"{v / gb:>10.1f}" if gb else f"{'':>10}"
+        print(f"{k:<28}{v / 1e9:>12.1f}{gb_s}{ai_s}")
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"batch": b, "flops": rows}, f, indent=1)
+            json.dump({"batch": b, "flops": rows, "bytes": byte_rows}, f, indent=1)
         print(f"wrote {args.json}")
 
 
