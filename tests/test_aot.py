@@ -114,22 +114,82 @@ def test_aot_prebuilt_execution_matches_jit(tmp_path):
     aot.load_serving(pipe2, path)
 
     # covered batch size runs the PRE-BUILT executables and matches jit
-    # exactly.  XLA:CPU AOT deserialization is machine-feature sensitive — in
-    # containers whose compile flags disagree with the host (the
-    # cpu_aot_loader warnings) execution can fail with 'Function ... not
-    # found'; the TPU path is where this matters and was verified on hardware
-    # (BENCHMARKS.md "Serving cold start").
+    # exactly.  The XLA:CPU *thunk* runtime loses jitted fusion symbols
+    # through serialize/deserialize on this version (execution fails with
+    # 'Function <fusion> not found'); the legacy CPU runtime executes the
+    # deserialized program correctly, so when the in-process attempt hits
+    # that failure the whole roundtrip re-runs in a subprocess under
+    # --xla_cpu_use_thunk_runtime=false — the execute half stays COVERED on
+    # CPU either way (the TPU runtime is unaffected; verified on hardware,
+    # BENCHMARKS.md "Serving cold start").
     try:
         out, segm = pipe2.sample_from_pose(
             params, jax.random.key(9), pose, attr, up, lo, ou
         )
         out = np.asarray(out)
     except Exception as e:  # pragma: no cover - host-dependent
-        if "not found" in str(e):
-            pytest.skip(f"XLA:CPU AOT execution unsupported on this host: {e}")
-        raise
+        if "not found" not in str(e):
+            raise
+        import os
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_cpu_use_thunk_runtime=false"
+        env["PYTHONPATH"] = os.pathsep.join(
+            [os.path.dirname(__file__),
+             os.path.dirname(os.path.dirname(__file__)),
+             env.get("PYTHONPATH", "")]
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import test_aot; test_aot._aot_execute_roundtrip_main()"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        assert proc.returncode == 0 and "AOT_EXECUTE_OK" in proc.stdout, (
+            f"legacy-runtime AOT execution failed too:\n{proc.stdout}\n"
+            f"{proc.stderr[-2000:]}"
+        )
+        return
     np.testing.assert_array_equal(out, np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(segm), np.asarray(ref_segm))
+
+
+def _aot_execute_roundtrip_main():  # pragma: no cover - subprocess body
+    """Export -> fresh-pipeline load -> execute -> exact-match, for the
+    legacy-CPU-runtime subprocess fallback above."""
+    import tempfile
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from text2human_tpu.pipelines import aot
+
+    pipe, res = _tiny_pose_pipe()
+    params = _pose_params(pipe, res)
+    b = 2
+    rng = np.random.default_rng(1)
+    pose = _jnp.asarray(rng.uniform(-1, 1, (b, res, res // 2, 1)), _jnp.float32)
+    attr = _jnp.asarray(
+        np.stack([rng.integers(0, [2, 3]) for _ in range(b)]), _jnp.int32
+    )
+    up, lo, ou = (
+        _jnp.asarray(rng.integers(0, 3, (b,)), _jnp.int32) for _ in range(3)
+    )
+    ref, ref_segm = pipe.sample_from_pose(
+        params, _jax.random.key(9), pose, attr, up, lo, ou
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/aot.pkl"
+        aot.export_serving(pipe, params, path, batch_sizes=(b,))
+        pipe2, _ = _tiny_pose_pipe()
+        assert aot.load_serving(pipe2, path) > 0
+        out, segm = pipe2.sample_from_pose(
+            params, _jax.random.key(9), pose, attr, up, lo, ou
+        )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(segm), np.asarray(ref_segm))
+    print("AOT_EXECUTE_OK")
 
 
 def test_aot_backend_mismatch_refused(tmp_path):
