@@ -717,10 +717,33 @@ def main(argv=None):
     parser.add_argument("--microbatches", type=int, default=2,
                         help="microbatches per pp pipeline step (clamped to "
                              "the largest divisor of the per-dp-shard batch)")
+    parser.add_argument("--coordinator", default="",
+                        help="multi-controller training: coordinator "
+                             "address (host:port) for "
+                             "jax.distributed.initialize; every process "
+                             "runs this same CLI with its own --process-id "
+                             "and sees the GLOBAL device mesh")
+    parser.add_argument("--num-processes", type=int, default=1,
+                        help="total processes in the multi-controller job")
+    parser.add_argument("--process-id", type=int, default=0,
+                        help="this process's rank in [0, --num-processes)")
     args = parser.parse_args(argv)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.coordinator:
+        # multi-controller SPMD: one process per host, each addressing its
+        # local chips; jax.devices() is global afterwards and every jitted
+        # computation on mesh-placed arrays is launched by all processes
+        # (scaling-book multihost recipe; must run before any backend use)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if not (args.dp or args.pp):
+            args.dp = True  # global arrays need a mesh; dp is the default
+    primary = jax.process_index() == 0
 
     # persistent XLA cache: warm restarts (and preemption recovery) skip the
     # minutes-long cold compile
@@ -731,9 +754,18 @@ def main(argv=None):
     opt = parse(args.opt, is_train=True)
     if args.fixture:
         opt["fixture"] = True
-    make_exp_dirs(opt)
+    make_exp_dirs(opt)  # training dirs are exist_ok; safe on every rank
+    # non-primary ranks log to their own file (two processes appending to
+    # one file interleave) and write no JSONL/visuals — host-side artifacts
+    # come from rank 0; DEVICE work (steps, val, checkpoint saves) runs on
+    # every rank because jitted computations on the global mesh and orbax
+    # multihost saves are collective
     logger = get_root_logger(
-        log_file=osp.join(opt["path"]["log"], f"train_{opt['name']}.log")
+        log_file=osp.join(
+            opt["path"]["log"],
+            f"train_{opt['name']}.log" if primary
+            else f"train_{opt['name']}.p{jax.process_index()}.log",
+        )
     )
     logger.info(dict2str(dict(opt)))
     set_random_seed(opt.get("manual_seed") or 0)
@@ -790,7 +822,9 @@ def main(argv=None):
         opt["name"],
         opt.get("print_freq") or 100,
         total_iters,
-        jsonl_path=osp.join(opt["path"]["log"], "metrics.jsonl"),
+        jsonl_path=(
+            osp.join(opt["path"]["log"], "metrics.jsonl") if primary else None
+        ),
     )
 
     current_iter = 0
@@ -908,11 +942,16 @@ def main(argv=None):
         if (epoch + 1) % (opt.get("val_freq") or 5) == 0:
             val = loop.validate(val_loader)
             logger.info(f"epoch {epoch} validation: {val}")
-            try:
-                first = next(iter(val_loader))
-                loop.save_visuals(first, opt["path"]["visualization"], epoch)
-            except Exception as e:  # visualization must never kill training
-                logger.warning(f"visualization failed: {e}")
+            if jax.process_count() == 1:
+                try:
+                    first = next(iter(val_loader))
+                    loop.save_visuals(first, opt["path"]["visualization"], epoch)
+                except Exception as e:  # visualization must never kill training
+                    logger.warning(f"visualization failed: {e}")
+            # (multi-controller: visuals are skipped — their jitted forwards
+            # would be collective launches, and gating them to rank 0 alone
+            # would deadlock the other ranks; QC images come from
+            # single-process runs or cli/sample.py on the checkpoints)
             # update the best-metric watermark FIRST so the epoch checkpoint
             # is written once, already stamped with it (a resume from it can
             # then never regress models/best); 'best' tracks the

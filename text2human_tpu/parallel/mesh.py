@@ -49,9 +49,31 @@ def batch_sharding(mesh: Mesh, dp_axis: str = "dp") -> NamedSharding:
     return NamedSharding(mesh, P(dp_axis))
 
 
+def _put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place one (host-global) array with ``sharding``.
+
+    Single-controller: a plain device_put.  Multi-controller
+    (jax.distributed.initialize'd, process_count > 1): device_put cannot
+    place remote shards, so each process materializes only ITS addressable
+    shards from the host-global value via make_array_from_callback — every
+    host carries the full batch (deterministic loaders produce identical
+    values per host) and ships only its slice to its devices."""
+    if jax.process_count() > 1:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # already a global array (e.g. a prefetched batch being
+            # re-placed, or idempotent _distribute_state): same layout is a
+            # no-op; a different one is a device-side collective reshard
+            return x if x.sharding == sharding else jax.device_put(x, sharding)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(mesh: Mesh, batch: Any, dp_axis: str = "dp") -> Any:
     sharding = batch_sharding(mesh, dp_axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: _put(x, sharding), batch)
 
 
 # -- sampler transformer tensor-parallel layout ------------------------------
@@ -101,7 +123,7 @@ def shard_params(mesh: Mesh, params: Any, specs: Optional[Any] = None) -> Any:
 def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     """Fully replicate a pytree over the mesh (params/opt state for pure dp)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _put(x, sharding), tree)
 
 
 def named_shardings(mesh: Mesh, specs: Any) -> Any:
