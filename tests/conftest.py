@@ -34,3 +34,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def isolated_root(tmp_path, monkeypatch):
+    """Reroot the CLI experiments/results tree into a tmp dir.
+
+    Sets T2H_ROOT (honored by config.parse) and chdirs there so both the
+    CLIs and the tests' relative ``experiments/...`` paths resolve under
+    tmp_path.  `configs/` is symlinked in so ``-opt configs/...`` args keep
+    working.  Suite cleanup of ``experiments`` therefore can never delete
+    real training artifacts at the repo root (it once deleted live campaign
+    checkpoints).  Env + cwd are inherited by subprocess-based tests.
+    """
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    monkeypatch.setenv("T2H_ROOT", str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+    os.symlink(os.path.join(repo, "configs"), tmp_path / "configs")
+    return tmp_path

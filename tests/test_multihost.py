@@ -25,10 +25,10 @@ EXP = "experiments/parsing_token_mh_debug"
 
 
 @pytest.fixture(autouse=True)
-def clean_experiments():
-    shutil.rmtree(EXP, ignore_errors=True)
+def _isolated(isolated_root):
+    """Every test runs in a tmp experiments root (conftest.isolated_root);
+    the spawned processes inherit T2H_ROOT + cwd."""
     yield
-    shutil.rmtree(EXP, ignore_errors=True)
 
 
 def _free_port() -> int:

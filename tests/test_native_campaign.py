@@ -17,7 +17,6 @@ instead of the released .pth zoo.
 import json
 import os
 import os.path as osp
-import shutil
 
 import pytest
 
@@ -25,14 +24,10 @@ pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(autouse=True)
-def clean_dirs():
-    """The CLIs root experiments/ at the package root (reference
-    semantics), so clean there — same pattern as test_train_cli.py."""
-    for d in ("experiments", "token_cache_debug"):
-        shutil.rmtree(d, ignore_errors=True)
+def _isolated(isolated_root):
+    """Every test runs in a tmp experiments root (conftest.isolated_root),
+    so the chain's experiments/ + token_cache_debug/ land under tmp_path."""
     yield
-    for d in ("experiments", "token_cache_debug"):
-        shutil.rmtree(d, ignore_errors=True)
 
 SEGM_YML = """\
 name: campaign_segm_debug

@@ -8,7 +8,6 @@ integer-index memmaps (data/token_cache.py, cli/tokenize.py).
 
 import os
 import os.path as osp
-import shutil
 
 import jax
 import numpy as np
@@ -22,10 +21,9 @@ from text2human_tpu.data.token_cache import (
 
 
 @pytest.fixture(autouse=True)
-def clean_experiments():
-    shutil.rmtree("experiments", ignore_errors=True)
+def _isolated(isolated_root):
+    """Every test runs in a tmp experiments root (conftest.isolated_root)."""
     yield
-    shutil.rmtree("experiments", ignore_errors=True)
 
 
 def _fake_dataset(n=5):

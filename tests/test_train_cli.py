@@ -1,7 +1,6 @@
 """Train-CLI smoke tests, including the data-parallel mesh path."""
 
 import os
-import shutil
 
 import pytest
 
@@ -9,10 +8,9 @@ from text2human_tpu.cli import train as train_cli
 
 
 @pytest.fixture(autouse=True)
-def clean_experiments():
-    shutil.rmtree("experiments", ignore_errors=True)
+def _isolated(isolated_root):
+    """Every test runs in a tmp experiments root (conftest.isolated_root)."""
     yield
-    shutil.rmtree("experiments", ignore_errors=True)
 
 
 def test_train_cli_segm_tokenizer_dp():

@@ -43,7 +43,13 @@ def parse(opt_path: str, is_train: bool = True, root: Optional[str] = None) -> N
 
     opt["is_train"] = is_train
     if root is None:
-        root = osp.abspath(osp.join(osp.dirname(osp.abspath(__file__)), osp.pardir))
+        # T2H_ROOT reroots the experiments/results tree (tests point it at a
+        # tmp dir so suite cleanup can never touch real training artifacts);
+        # default is the package parent, like the reference's repo-root
+        # `experiments/` convention (utils/options.py:56-79).
+        root = os.environ.get("T2H_ROOT") or osp.abspath(
+            osp.join(osp.dirname(osp.abspath(__file__)), osp.pardir)
+        )
     opt["path"] = {"root": root}
     if is_train:
         experiments_root = osp.join(root, "experiments", opt["name"])
