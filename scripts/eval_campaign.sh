@@ -1,0 +1,32 @@
+#!/bin/bash
+# Post-campaign evaluation (VERDICT r3 tasks 1+3): assemble the six
+# natively trained campaign checkpoints into one pipeline checkpoint, then
+# sweep decode schedules on it for the quality-vs-steps table.
+# Run after scripts/run_campaign.sh prints ALL STAGES COMPLETE.
+set -eu
+cd "$(dirname "$0")/.."
+
+for s in parsing_token vqvae_top vqvae_bottom sampler index_pred parsing_gen; do
+    [ -d "experiments/${s}_campaign/models/final" ] || {
+        echo "missing experiments/${s}_campaign/models/final"; exit 1; }
+done
+
+python -m text2human_tpu.cli.convert assemble-pipeline \
+    --top experiments/vqvae_top_campaign/models/final \
+    --bottom experiments/vqvae_bottom_campaign/models/final \
+    --segm experiments/parsing_token_campaign/models/final \
+    --sampler experiments/sampler_campaign/models/final \
+    --index-pred experiments/index_pred_campaign/models/final \
+    --parsing-gen experiments/parsing_gen_campaign/models/final \
+    --out checkpoints/campaign_pipeline
+
+# quality-vs-steps on the TRAINED model (held-out fixture parsings start at
+# offset 2048, past the campaign's train split)
+python -m text2human_tpu.cli.evaluate sweep-steps \
+    -opt configs/sample_from_parsing.yml \
+    --ckpt checkpoints/campaign_pipeline \
+    --decodes absorbing:256 maskgit:64 maskgit:32 maskgit:16 \
+    --batch 8 --num-batches 2 \
+    --out campaign_logs/sweep_steps.json
+
+echo "[eval] done: checkpoints/campaign_pipeline + campaign_logs/sweep_steps.json"

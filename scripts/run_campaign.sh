@@ -21,9 +21,17 @@ final() { [ -d "experiments/$1/models/final" ]; }
 stage() { # stage <name> <config> [extra args...]
     local name=$1 cfg=$2; shift 2
     if final "$name"; then echo "[campaign] $name: final exists, skip"; return 0; fi
+    # A preemption/periodic checkpoint without final => the stage was killed
+    # mid-run (e.g. the driving session died): resume it instead of wiping.
+    local extra=""
+    if ls "experiments/$name/models"/* >/dev/null 2>&1; then
+        extra="--resume"
+        echo "[campaign] $name: resuming from preemption checkpoint"
+    else
+        rm -rf "experiments/$name"
+    fi
     echo "[campaign] $name: start $(date -u +%H:%M:%S)"
-    rm -rf "experiments/$name"
-    $TRAIN -opt "$cfg" --fixture "$@" >> "campaign_logs/$name.log" 2>&1
+    $TRAIN -opt "$cfg" --fixture $extra "$@" >> "campaign_logs/$name.log" 2>&1
     local rc=$?
     echo "[campaign] $name: done rc=$rc $(date -u +%H:%M:%S)"
     return $rc
