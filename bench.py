@@ -57,16 +57,37 @@ def main():
     h, w = 512, 256
     rng = np.random.default_rng(0)
 
-    # Random full-size weights via eval_shape + numpy fills shipped in one
+    # Weights: prefer the campaign-trained pipeline checkpoint when present
+    # (scripts/run_campaign.sh + eval_campaign.sh write it) so the headline
+    # number is measured on genuinely trained weights; otherwise random
+    # full-size weights via eval_shape + numpy fills shipped in one
     # device_put (cli/sample.py load_params): flax .init would EXECUTE the
     # full-size forward on one host core (~76 s measured; this path is ~40 s,
-    # dominated by the 1.2 GB tunnel transfer).
+    # dominated by the 1.2 GB tunnel transfer).  Compute is identical either
+    # way — same dims, same step counts.
+    import os.path as osp
+
     t0 = time.time()
     from text2human_tpu.cli.sample import load_params
 
-    params = load_params(
-        pipe, {"model_type": "SampleFromPoseModel"}, synthetic=True
-    )
+    campaign_ckpt = osp.join(osp.dirname(osp.abspath(__file__)),
+                             "checkpoints", "campaign_pipeline")
+    params = None
+    weights = "random-synthetic"
+    if osp.isdir(campaign_ckpt):
+        try:
+            params = load_params(
+                pipe, {"model_type": "SampleFromPoseModel"},
+                synthetic=False, ckpt=campaign_ckpt,
+            )
+            weights = "campaign-trained"
+        except Exception as e:  # fall back rather than fail the bench
+            print(f"# campaign checkpoint unusable ({e!r}); random weights")
+            params = None
+    if params is None:
+        params = load_params(
+            pipe, {"model_type": "SampleFromPoseModel"}, synthetic=True
+        )
     jax.block_until_ready(params)
     init_time = time.time() - t0
 
@@ -174,6 +195,7 @@ def main():
             "compile_s": round(compile4 + compile16, 2),
             "init_s": round(init_time, 2),
             "backend": jax.default_backend(),
+            "weights": weights,
         },
     }
     print(json.dumps(result))
