@@ -602,6 +602,13 @@ def main(argv=None):
         "normal boot an existing artifact is LOADED, skipping trace/lower/"
         "compile entirely (backend-specific, like any compiled binary)",
     )
+    parser.add_argument(
+        "--ckpt",
+        default="",
+        help="pipeline checkpoint directory (convert/assemble-pipeline); "
+        "overrides the YAML's pipeline_checkpoint — serve trained weights "
+        "without editing the config",
+    )
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -617,6 +624,8 @@ def main(argv=None):
     from text2human_tpu.config import parse
 
     opt = parse(args.opt, is_train=False)
+    if args.ckpt:
+        opt["pipeline_checkpoint"] = args.ckpt
     server = build_server(
         opt, args.synthetic, args.port,
         max_batch=args.max_batch, window_ms=args.batch_window_ms,
