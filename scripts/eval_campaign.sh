@@ -27,6 +27,7 @@ python -m text2human_tpu.cli.evaluate sweep-steps \
     --ckpt checkpoints/campaign_pipeline \
     --decodes absorbing:256 maskgit:64 maskgit:32 maskgit:16 \
     --batch 8 --num-batches 2 \
-    --out campaign_logs/sweep_steps.json
+    --out campaign_logs/sweep_steps.json \
+    --save-grid campaign_logs/sweep_grid.png
 
 echo "[eval] done: checkpoints/campaign_pipeline + campaign_logs/sweep_steps.json"

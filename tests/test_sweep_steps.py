@@ -26,11 +26,13 @@ def test_sweep_steps_reports_quality_per_decode(tmp_path):
     save_checkpoint(ckpt, jax.device_get(params))
 
     out = tmp_path / "sweep.json"
+    grid = tmp_path / "grid.png"
     results = evaluate.main([
         "sweep-steps", "-opt", cfg, "--ckpt", ckpt,
         "--decodes", "absorbing:4", "maskgit:2",
         "--batch", "2", "--num-batches", "1",
         "--fixture-offset", "0", "--out", str(out), "--cpu",
+        "--save-grid", str(grid),
     ])
     assert [r["decode"] for r in results] == ["absorbing:4", "maskgit:2"]
     for r in results:
@@ -39,3 +41,10 @@ def test_sweep_steps_reports_quality_per_decode(tmp_path):
         assert r["imgs_per_s"] > 0
     saved = json.loads(out.read_text())
     assert saved["results"] == results
+
+    # qualitative grid: GT row + one row per decode, `batch` columns
+    from PIL import Image
+
+    img = Image.open(grid)
+    h = saved["resolution"]
+    assert img.size == (2 * (h // 2), 3 * h)  # (batch*W, (1+decodes)*H)

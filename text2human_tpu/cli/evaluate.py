@@ -109,6 +109,7 @@ def _sweep_steps(args):
     extract = vgg_feature_extractor(lpips, lpips_vars)
 
     results = []
+    grid_rows = [gt01[: args.batch]] if args.save_grid else None
     for spec in args.decodes:
         mode, steps = spec.split(":")
         steps = int(steps)
@@ -145,6 +146,19 @@ def _sweep_steps(args):
         }
         results.append(row)
         print(row)
+        if grid_rows is not None:
+            grid_rows.append(fake01[: args.batch])
+    if grid_rows is not None:
+        from PIL import Image
+
+        # one row per source (GT first, then each decode schedule), the
+        # first `batch` held-out fixtures as columns
+        rows = [np.concatenate(list(r), axis=1) for r in grid_rows]
+        grid = np.clip(np.concatenate(rows, axis=0), 0.0, 1.0)
+        Image.fromarray((grid * 255.0 + 0.5).astype(np.uint8)).save(
+            args.save_grid)
+        print(f"wrote {args.save_grid} (rows: GT, "
+              f"{', '.join(args.decodes)})")
     if args.out:
         import json
 
@@ -190,6 +204,8 @@ def main(argv=None):
     sweep.add_argument("--seed", type=int, default=2021)
     sweep.add_argument("--lpips-weights", default="")
     sweep.add_argument("--out", default="")
+    sweep.add_argument("--save-grid", default="", help="write a qualitative "
+                       "PNG grid: GT row + one row per decode schedule")
     sweep.add_argument("--cpu", action="store_true")
 
     from text2human_tpu.cli.common import add_vq_impl_flag, apply_vq_impl
