@@ -70,8 +70,14 @@ def main():
     t0 = time.time()
     from text2human_tpu.cli.sample import load_params
 
-    campaign_ckpt = osp.join(osp.dirname(osp.abspath(__file__)),
-                             "checkpoints", "campaign_pipeline")
+    repo = osp.dirname(osp.abspath(__file__))
+    campaign_ckpt = osp.join(repo, "checkpoints", "campaign_pipeline")
+    if not osp.isdir(campaign_ckpt):
+        # machine resets wipe the gitignored checkpoints/ tree; the campaign
+        # archives the assembled pipeline in git (scripts/eval_campaign.sh)
+        archived = osp.join(repo, "campaign_ckpts", "pipeline")
+        if osp.isdir(archived):
+            campaign_ckpt = archived
     params = None
     weights = "random-synthetic"
     if osp.isdir(campaign_ckpt):

@@ -6,6 +6,8 @@
 set -eu
 cd "$(dirname "$0")/.."
 
+bash scripts/restore_campaign.sh
+
 for s in parsing_token vqvae_top vqvae_bottom sampler index_pred parsing_gen; do
     [ -d "experiments/${s}_campaign/models/final" ] || {
         echo "missing experiments/${s}_campaign/models/final"; exit 1; }
@@ -29,5 +31,19 @@ python -m text2human_tpu.cli.evaluate sweep-steps \
     --batch 8 --num-batches 2 \
     --out campaign_logs/sweep_steps.json \
     --save-grid campaign_logs/sweep_grid.png
+
+# Archive the assembled pipeline so bench.py finds trained weights on any
+# future machine (checkpoints/ is gitignored and machine resets wipe it).
+rm -rf campaign_ckpts/pipeline
+mkdir -p campaign_ckpts
+cp -r checkpoints/campaign_pipeline campaign_ckpts/pipeline
+for i in 1 2 3 4 5; do
+    git add campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
+        campaign_logs/sweep_grid.png \
+    && git commit -m "Campaign: assembled pipeline + quality-vs-steps sweep" \
+        -- campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
+           campaign_logs/sweep_grid.png >/dev/null && break
+    sleep 5
+done
 
 echo "[eval] done: checkpoints/campaign_pipeline + campaign_logs/sweep_steps.json"

@@ -15,8 +15,40 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p campaign_logs
 
+# The build machine is reset between rounds, wiping gitignored trees
+# (docs/CAMPAIGN.md lost two full runs this way).  Completed stages are
+# archived params-only into the git-tracked campaign_ckpts/ and committed,
+# so a fresh machine resumes where the last one died.
+bash scripts/restore_campaign.sh
+
 TRAIN="python -m text2human_tpu.cli.train"
 final() { [ -d "experiments/$1/models/final" ]; }
+
+commit_archive() { # commit_archive <path> <message>; retries index.lock races
+    for i in 1 2 3 4 5 6 7 8 9 10; do
+        if git add "$1" && git commit -m "$2" -- "$1" >/dev/null; then
+            echo "[campaign] committed $1"
+            return 0
+        fi
+        sleep 5
+    done
+    echo "[campaign] WARNING: could not commit $1"
+    return 1
+}
+
+archive() { # archive <stage>: slim the final ckpt into campaign_ckpts/ and
+    # swap the on-disk final for the slim copy, so the token cache's sha256
+    # fingerprint of the tokenizer dirs is identical on this machine and on
+    # any future machine that restores from the archive.
+    local name=$1
+    [ -d "campaign_ckpts/$name" ] && return 0
+    JAX_PLATFORMS=cpu python scripts/slim_ckpt.py \
+        "experiments/$name/models/final" "campaign_ckpts/$name" || return 1
+    rm -rf "experiments/$name/models/final"
+    cp -r "campaign_ckpts/$name" "experiments/$name/models/final"
+    commit_archive "campaign_ckpts/$name" \
+        "Campaign: archive $name final checkpoint (reset-proof)"
+}
 
 stage() { # stage <name> <config> [extra args...]
     local name=$1 cfg=$2; shift 2
@@ -38,8 +70,11 @@ stage() { # stage <name> <config> [extra args...]
 }
 
 stage parsing_token_campaign configs/campaign/parsing_token_campaign.yml || exit 1
+archive parsing_token_campaign || exit 1
 stage vqvae_top_campaign     configs/campaign/vqvae_top_campaign.yml     || exit 1
+archive vqvae_top_campaign || exit 1
 stage vqvae_bottom_campaign  configs/campaign/vqvae_bottom_campaign.yml  || exit 1
+archive vqvae_bottom_campaign || exit 1
 
 # Token cache: rebuild unless a cache exists whose fingerprints match the
 # current tokenizer checkpoints (python exit 0 = match).
@@ -63,6 +98,18 @@ then
     python -m text2human_tpu.cli.tokenize \
         -opt configs/campaign/sampler_campaign.yml --fixture \
         --out token_cache_campaign >> campaign_logs/tokenize.log 2>&1 || exit 1
+    # archive the cache too when it is small enough to live in git (pure
+    # integer token fields; rebuild costs ~40 min of chip time per reset)
+    CACHE_MB=$(du -sm token_cache_campaign | cut -f1)
+    if [ "$CACHE_MB" -le 500 ]; then
+        rm -rf campaign_ckpts/token_cache
+        mkdir -p campaign_ckpts
+        cp -r token_cache_campaign campaign_ckpts/token_cache
+        commit_archive campaign_ckpts/token_cache \
+            "Campaign: archive token cache (${CACHE_MB} MB, reset-proof)"
+    else
+        echo "[campaign] token cache ${CACHE_MB} MB: too big to archive"
+    fi
 else
     echo "[campaign] token cache fingerprints match, reuse"
 fi
@@ -88,8 +135,16 @@ if ! final sampler_campaign; then
     fi
     echo "[campaign] sampler_campaign: done $(date -u +%H:%M:%S)"
 fi
+archive sampler_campaign || exit 1
 
 stage index_pred_campaign  configs/campaign/index_pred_campaign.yml  || exit 1
+archive index_pred_campaign || exit 1
 stage parsing_gen_campaign configs/campaign/parsing_gen_campaign.yml || exit 1
+archive parsing_gen_campaign || exit 1
 
 echo "[campaign] ALL STAGES COMPLETE $(date -u +%H:%M:%S)"
+
+# Chain straight into assembly + the quality-vs-steps sweep so an unattended
+# background run delivers the full VERDICT task-1+3 evidence in one go.
+bash scripts/eval_campaign.sh >> campaign_logs/eval.log 2>&1
+echo "[campaign] eval done rc=$? $(date -u +%H:%M:%S)"
