@@ -34,16 +34,31 @@ python -m text2human_tpu.cli.evaluate sweep-steps \
 
 # Archive the assembled pipeline so bench.py finds trained weights on any
 # future machine (checkpoints/ is gitignored and machine resets wipe it).
-rm -rf campaign_ckpts/pipeline
-mkdir -p campaign_ckpts
-cp -r checkpoints/campaign_pipeline campaign_ckpts/pipeline
-for i in 1 2 3 4 5; do
-    git add campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
-        campaign_logs/sweep_grid.png \
-    && git commit -m "Campaign: assembled pipeline + quality-vs-steps sweep" \
-        -- campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
-           campaign_logs/sweep_grid.png >/dev/null && break
-    sleep 5
-done
+# Skip the recommit when the assembled weights are byte-identical to the
+# existing archive (ADVICE r4: every eval rerun was adding the full blob
+# size to git history).
+if [ -d campaign_ckpts/pipeline ] && python - <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from text2human_tpu.data.token_cache import checkpoint_fingerprint
+a = checkpoint_fingerprint("checkpoints/campaign_pipeline")
+b = checkpoint_fingerprint("campaign_ckpts/pipeline")
+sys.exit(0 if a["sha256"] == b["sha256"] else 1)
+EOF
+then
+    echo "[eval] assembled pipeline unchanged, archive kept as-is"
+else
+    rm -rf campaign_ckpts/pipeline
+    mkdir -p campaign_ckpts
+    cp -r checkpoints/campaign_pipeline campaign_ckpts/pipeline
+    for i in 1 2 3 4 5; do
+        git add campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
+            campaign_logs/sweep_grid.png \
+        && git commit -m "Campaign: assembled pipeline + quality-vs-steps sweep" \
+            -- campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
+               campaign_logs/sweep_grid.png >/dev/null && break
+        sleep 5
+    done
+fi
 
 echo "[eval] done: checkpoints/campaign_pipeline + campaign_logs/sweep_steps.json"

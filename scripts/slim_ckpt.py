@@ -29,8 +29,12 @@ from text2human_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 def slim_tree(tree):
     state = tree.get("state", tree)
+    # "step" is a scalar but load-bearing on slim --resume (GAN disc_start
+    # gating, log continuity); keep it alongside the weights.
     keep = {k: state[k] for k in ("params", "batch_stats") if k in state
             and state[k]}
+    if "step" in state:
+        keep["step"] = state["step"]
     out = {"state": keep}
     for k in ("epoch", "best"):
         if k in tree:

@@ -39,9 +39,21 @@ def _free_port() -> int:
     return port
 
 
-def _launch(process_id: int, port: int, extra=()):
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _child_env() -> dict:
+    """Spawned trainers run with cwd = the tmp isolated root, so the repo
+    must be on PYTHONPATH explicitly (same as tests/test_aot.py) — a bare
+    ``python -m pytest`` from any cwd must stay green."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join([REPO, env.get("PYTHONPATH", "")])
+    return env
+
+
+def _launch(process_id: int, port: int, extra=()):
+    env = _child_env()
     # 4 local devices per process -> 8 global on the 2-process mesh
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     return subprocess.Popen(
@@ -89,8 +101,7 @@ def test_two_process_dp_train_checkpoint_resume():
     # the persistent compile cache is warm for the 2-process legs: gloo's
     # sub-communicator setup has a fixed 30 s key-exchange deadline, and two
     # ranks cold-compiling concurrently on a loaded host can skew past it.
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _child_env()
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     proc = subprocess.run(
         [sys.executable, "-m", "text2human_tpu.cli.train",

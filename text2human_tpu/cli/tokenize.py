@@ -74,6 +74,9 @@ def main(argv=None):
     # dispatch latency (on the tunneled chip b=8 measured roundtrip-bound at
     # ~1.8 samples/s; the forward itself is ~100 ms)
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--workers", type=int, default=6,
+                        help="host threads materializing batches ahead of "
+                             "the device (the build is host-bound otherwise)")
     parser.add_argument("--variants", type=int, default=0, choices=(0, 1, 2),
                         help="flip variants (default: 2 for train, 1 otherwise)")
     parser.add_argument("--synthetic", action="store_true",
@@ -200,6 +203,8 @@ def main(argv=None):
             tokenize,
             batch_size=args.batch_size,
             variants=variants,
+            workers=args.workers,
+            prefetch=max(2, args.workers),
             extra_meta={
                 "job": mt,
                 "opt_name": opt.get("name"),

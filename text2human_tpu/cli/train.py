@@ -849,21 +849,47 @@ def main(argv=None):
 
         resume_path = latest_checkpoint(opt["path"]["models"])
         if resume_path:
-            try:
-                restored = load_checkpoint(
-                    resume_path,
-                    target={"state": loop.state, "epoch": 0, "best": 0.0},
+            restored = None
+            for target in (
+                {"state": loop.state, "epoch": 0, "best": 0.0},
+                # checkpoints from before the 'best' field
+                {"state": loop.state, "epoch": 0},
+            ):
+                try:
+                    restored = load_checkpoint(resume_path, target=target)
+                    break
+                except Exception:
+                    continue
+            if restored is None:
+                # slim archive (params [+ batch_stats, step] only — e.g. a
+                # reset-proof in-flight archive restored from git,
+                # scripts/inflight_archive.sh): continue training with fresh
+                # optimizer moments rather than losing the stage.
+                raw = load_checkpoint(resume_path)
+                sd = raw.get("state", raw)
+                if "params" not in sd:
+                    raise RuntimeError(
+                        f"cannot resume from {resume_path}: neither a full "
+                        "TrainState nor a slim params checkpoint"
+                    )
+                loop.state = loop.state.replace(
+                    params=sd["params"],
+                    batch_stats=sd.get("batch_stats") or loop.state.batch_stats,
+                    step=jnp.asarray(int(np.asarray(sd.get("step", 0))), jnp.int32),
                 )
-                # restore the best-metric watermark so a post-resume val epoch
-                # cannot overwrite models/best with a worse model (NaN = no
-                # best recorded yet)
-                restored_best = float(restored.get("best", float("nan")))
-                best = None if np.isnan(restored_best) else restored_best
-            except Exception:  # checkpoints from before the 'best' field
-                restored = load_checkpoint(
-                    resume_path, target={"state": loop.state, "epoch": 0}
+                logger.warning(
+                    f"resumed SLIM checkpoint {resume_path}: optimizer "
+                    "moments reinitialized (params/batch_stats/step restored)"
                 )
-            loop.state = restored["state"]
+                restored = {"epoch": raw.get("epoch", 0),
+                            "best": raw.get("best", float("nan"))}
+            # restore the best-metric watermark so a post-resume val epoch
+            # cannot overwrite models/best with a worse model (NaN = no
+            # best recorded yet)
+            restored_best = float(restored.get("best", float("nan")))
+            best = None if np.isnan(restored_best) else restored_best
+            if "state" in restored:
+                loop.state = restored["state"]
             # re-place the restored tree on the mesh (pp re-shards the block
             # params; _distribute_state is idempotent)
             loop._distribute_state()

@@ -124,6 +124,8 @@ def build_token_cache(
     variants: int = 1,
     extra_meta: Optional[Dict[str, Any]] = None,
     progress: Optional[Callable[[int, int], None]] = None,
+    workers: int = 4,
+    prefetch: int = 4,
 ) -> Dict[str, Any]:
     """Tokenize ``dataset`` through ``tokenize_batch`` and write the cache.
 
@@ -132,7 +134,16 @@ def build_token_cache(
     horizontally-flipped copy of every sample (for xflip training).  The last
     batch is padded to ``batch_size`` so the jitted tokenizer compiles for
     exactly one shape.
+
+    ``workers``/``prefetch``: host-side batch materialization (dataset
+    access, flips, collate — fixture synthesis or PNG decode) runs on a
+    thread pool ``prefetch`` batches ahead of the device, so the frozen
+    forward streams instead of serializing host prep with device compute
+    (the r4 build measured ~3.4 s host prep vs ~0.3 s device per b=32
+    batch — the build was >90% host-bound).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from text2human_tpu.data.loader import collate
 
     if variants not in (1, 2):
@@ -146,21 +157,36 @@ def build_token_cache(
     fnames: List[str] = []
     total = variants * n
     done = 0
-    for v in range(variants):
-        for start in range(0, n, batch_size):
-            idx = list(range(start, min(start + batch_size, n)))
-            samples = [dataset[i] for i in idx]
-            if v == 0:
-                fnames.extend(
-                    str(s.get("img_name", i)) for s, i in zip(samples, idx)
-                )
-            if v == 1:
-                samples = [flip_sample(s) for s in samples]
-            # pad the tail batch to the compiled batch size
-            pad = batch_size - len(samples)
-            if pad:
-                samples = samples + [samples[-1]] * pad
-            batch = collate(samples)
+
+    descs = [(v, s) for v in range(variants) for s in range(0, n, batch_size)]
+
+    def make_batch(desc):
+        v, start = desc
+        idx = list(range(start, min(start + batch_size, n)))
+        samples = [dataset[i] for i in idx]
+        names = (
+            [str(s.get("img_name", i)) for s, i in zip(samples, idx)]
+            if v == 0 else []
+        )
+        if v == 1:
+            samples = [flip_sample(s) for s in samples]
+        # pad the tail batch to the compiled batch size
+        pad = batch_size - len(samples)
+        if pad:
+            samples = samples + [samples[-1]] * pad
+        return v, start, idx, names, collate(samples)
+
+    with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+        depth = max(prefetch, 1)
+        pending = [pool.submit(make_batch, d) for d in descs[:depth]]
+        queued = depth
+        for _ in range(len(descs)):
+            v, start, idx, names, batch = pending.pop(0).result()
+            if queued < len(descs):
+                pending.append(pool.submit(make_batch, descs[queued]))
+                queued += 1
+            fnames.extend(names)
+            pad = batch_size - len(idx)
             out = tokenize_batch(batch)
             for k, arr in out.items():
                 arr = np.asarray(arr)
