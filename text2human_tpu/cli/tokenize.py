@@ -170,15 +170,22 @@ def main(argv=None):
                 for k, v in sample.items()
             })
 
+        # ship ONLY the fields each job's tokenize reads: the rich fixture /
+        # DeepFashion sample also carries densepose (+attr, +segm for the
+        # index-pred job) — ~50% of the batch bytes as dead transfer weight
+        # over the tunneled chip (the r5 ip build measured 1.3 samples/s
+        # before this trim)
         if mt == "TransformerTextureAwareModel":
             def tokenize(batch):
+                used = {k: batch[k] for k in ("image", "texture_mask", "segm")}
                 out = trainer.tokenize(
-                    loop.frozen["img"], loop.frozen["segm"], to_device_batch(batch)
+                    loop.frozen["img"], loop.frozen["segm"], to_device_batch(used)
                 )
                 return {k: np.asarray(v) for k, v in out.items()}
         elif mt == "VQGANTextureAwareSpatialHierarchyInferenceModel":
             def tokenize(batch):
-                out = trainer.tokenize(loop.frozen["vq"], to_device_batch(batch))
+                used = {k: batch[k] for k in ("image", "texture_mask")}
+                out = trainer.tokenize(loop.frozen["vq"], to_device_batch(used))
                 return {k: np.asarray(v) for k, v in out.items()}
 
         variants = args.variants or (2 if split == "train" else 1)
