@@ -486,11 +486,29 @@ class TrainLoop:
             )
         self.state = self.state.replace(params=params, batch_stats=batch_stats)
 
+    # Host->device wire filter: fields each job's train/eval/visual steps
+    # can ever read.  The datasets ship the full DeepFashion field set
+    # (image + segm + densepose + texture_mask + attrs, ~80 MB per b=16
+    # batch at 512x256); jobs that consume a subset should not pay HBM or
+    # host-link bandwidth for the rest — on tunneled single-pipe device
+    # transports the dead fields more than quadrupled the per-step wire
+    # bytes of the parsing-gen job (its step reads only densepose/attr/
+    # segm).  Jobs not listed place everything they get (token-cache and
+    # multi-input jobs).
+    _JOB_WIRE_FIELDS = {
+        "ParsingGenModel": ("densepose", "attr", "segm"),
+        "VQSegmentationModel": ("segm",),
+    }
+
     def place(self, batch) -> Dict[str, Any]:
         """Host batch -> its final device placement (sharded under --dp).
         Called by the device prefetcher one step ahead of ``step`` so the
         transfer overlaps the previous step's compute; ``step``'s own
-        placement of an already-placed batch is a no-op."""
+        placement of an already-placed batch is a no-op.  Only the fields
+        the job consumes are transferred (_JOB_WIRE_FIELDS)."""
+        keep = self._JOB_WIRE_FIELDS.get(self.mt)
+        if keep is not None:
+            batch = {k: v for k, v in batch.items() if k in keep}
         return self._shard(to_device_batch(batch))
 
     def step(self, batch) -> Dict[str, Any]:
@@ -689,6 +707,16 @@ class TrainLoop:
 
 
 def main(argv=None):
+    # kill -USR1 <pid> dumps every Python thread's stack to stderr — the
+    # only way to see where a run is blocked when a tunneled device backend
+    # wedges (no ptrace/py-spy in the training containers)
+    import faulthandler
+    import signal as _signal
+
+    try:
+        faulthandler.register(_signal.SIGUSR1, all_threads=True)
+    except (AttributeError, ValueError):
+        pass  # non-main thread or platform without SIGUSR1
     parser = argparse.ArgumentParser()
     parser.add_argument("-opt", required=True)
     parser.add_argument("--synthetic", action="store_true",
@@ -833,12 +861,19 @@ def main(argv=None):
 
     # initialize (and optionally resume) before the epoch loop so the restored
     # epoch drives the lr schedule and cadence
+    t_init = time.time()
     first_batch = next(iter(loader), None)
     if first_batch is None:
         logger.warning("empty training dataset; nothing to do")
         return
+    logger.info(
+        f"first batch ready in {time.time() - t_init:.1f}s; initializing "
+        "model state (first-use compile on the device backend)"
+    )
+    t_init = time.time()
     loop.init(first_batch)
     loop._distribute_state()
+    logger.info(f"model state initialized in {time.time() - t_init:.1f}s")
     # checkpoint writes overlap training (orbax background thread); each
     # save waits for the previous one, and the loop waits before exit
     ckpt_writer = AsyncCheckpointWriter()
@@ -934,6 +969,11 @@ def main(argv=None):
         for batch in prefetch_to_device(loader, loop.place):
             lr = loop.set_lr(epoch, current_iter)
             logs = loop.step(batch)
+            if current_iter == 0:
+                logger.info(
+                    "first train step dispatched; waiting on the device for "
+                    "the iter-1 log sync (first-use compile happens here)"
+                )
             inflight.append(logs)
             if len(inflight) > run_ahead:
                 drain_one()
