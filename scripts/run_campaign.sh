@@ -89,23 +89,60 @@ archive() { # archive <stage>: slim the final ckpt into campaign_ckpts/ and
         "Campaign: archive $name final checkpoint (reset-proof)"
 }
 
+_run_with_watchdog() { # _run_with_watchdog <logfile> <cmd...>
+    # The tunneled device backend has wedged whole runs: a dispatched step's
+    # result simply never returns while the process sits at 0% CPU (observed
+    # twice on the parsing_gen stage, ~20+ min each).  Kill the trainer when
+    # its log stops advancing for STALL_S seconds; the caller retries and
+    # --resume picks up from the last periodic checkpoint.  The budget is
+    # generous: first-use remote compiles legitimately take minutes and log
+    # their phase lines (cli/train.py) which reset the timer.
+    local log=$1; shift
+    local STALL_S=${CAMPAIGN_STALL_S:-900}
+    "$@" >> "$log" 2>&1 &
+    local pid=$!
+    while kill -0 "$pid" 2>/dev/null; do
+        sleep 30
+        local age
+        age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
+        if [ "$age" -ge "$STALL_S" ]; then
+            echo "[campaign] WATCHDOG: no log progress for ${age}s, killing $pid"
+            # SIGUSR1 first: dump the wedged stacks into the log for the record
+            kill -USR1 "$pid" 2>/dev/null; sleep 5
+            kill "$pid" 2>/dev/null; sleep 10
+            kill -9 "$pid" 2>/dev/null
+            wait "$pid" 2>/dev/null
+            return 99
+        fi
+    done
+    wait "$pid"
+}
+
 stage() { # stage <name> <config> [extra args...]
     local name=$1 cfg=$2; shift 2
     if final "$name"; then echo "[campaign] $name: final exists, skip"; return 0; fi
-    # A preemption/periodic checkpoint without final => the stage was killed
-    # mid-run (e.g. the driving session died): resume it instead of wiping.
-    local extra=""
-    if ls "experiments/$name/models"/* >/dev/null 2>&1; then
-        extra="--resume"
-        echo "[campaign] $name: resuming from preemption checkpoint"
-    else
-        rm -rf "experiments/$name"
-    fi
-    echo "[campaign] $name: start $(date -u +%H:%M:%S)"
-    $TRAIN -opt "$cfg" --fixture $extra "$@" >> "campaign_logs/$name.log" 2>&1
-    local rc=$?
-    echo "[campaign] $name: done rc=$rc $(date -u +%H:%M:%S)"
-    return $rc
+    local attempt rc
+    for attempt in 1 2 3; do
+        # A preemption/periodic checkpoint without final => the stage was
+        # killed mid-run (driving session died, or the watchdog fired):
+        # resume it instead of wiping.
+        local extra=""
+        if ls "experiments/$name/models"/* >/dev/null 2>&1; then
+            extra="--resume"
+            echo "[campaign] $name: resuming from preemption checkpoint"
+        elif [ "$attempt" = 1 ]; then
+            rm -rf "experiments/$name"
+        fi
+        echo "[campaign] $name: start (attempt $attempt) $(date -u +%H:%M:%S)"
+        _run_with_watchdog "campaign_logs/$name.log" \
+            $TRAIN -opt "$cfg" --fixture $extra "$@"
+        rc=$?
+        echo "[campaign] $name: done rc=$rc $(date -u +%H:%M:%S)"
+        [ "$rc" -ne 99 ] && return $rc
+        echo "[campaign] $name: stalled, retrying"
+    done
+    echo "[campaign] $name: giving up after 3 stalled attempts"
+    return 99
 }
 
 # cache_fresh <cache_dir> <key:path> [...]: exit 0 iff the cache exists and

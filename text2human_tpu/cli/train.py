@@ -500,16 +500,32 @@ class TrainLoop:
         "VQSegmentationModel": ("segm",),
     }
 
+    # Integer-valued float fields (parsing class maps, 0..23) travel as
+    # uint8 and are widened back to float32 on device: 4x fewer wire bytes
+    # for the same values.
+    _WIRE_U8 = ("segm", "texture_mask")
+
     def place(self, batch) -> Dict[str, Any]:
         """Host batch -> its final device placement (sharded under --dp).
         Called by the device prefetcher one step ahead of ``step`` so the
         transfer overlaps the previous step's compute; ``step``'s own
         placement of an already-placed batch is a no-op.  Only the fields
-        the job consumes are transferred (_JOB_WIRE_FIELDS)."""
+        the job consumes are transferred (_JOB_WIRE_FIELDS), and integer-
+        valued class maps are shipped narrow (_WIRE_U8)."""
         keep = self._JOB_WIRE_FIELDS.get(self.mt)
         if keep is not None:
             batch = {k: v for k, v in batch.items() if k in keep}
-        return self._shard(to_device_batch(batch))
+        out = {}
+        for k, v in batch.items():
+            if isinstance(v, list):
+                continue
+            if k in self._WIRE_U8 and not isinstance(v, jax.Array):
+                out[k] = jnp.asarray(np.asarray(v, dtype=np.uint8)).astype(
+                    jnp.float32
+                )
+            else:
+                out[k] = jnp.asarray(v)
+        return self._shard(out)
 
     def step(self, batch) -> Dict[str, Any]:
         """One training step.  Returns the trainer's log scalars as DEVICE
