@@ -107,7 +107,10 @@ def test_nearest_downsample_mask_matches_torch(rng):
 
 def test_bilinear_resize_matches_torch(rng):
     x = rng.standard_normal((1, 8, 6, 3)).astype(np.float32)
-    for size, align in [((16, 12), False), ((4, 3), False), ((16, 12), True)]:
+    # odd, non-integer ratios exercise the two-tap interpolation matrices
+    # away from the exact-2x fast paths
+    for size, align in [((16, 12), False), ((4, 3), False), ((16, 12), True),
+                        ((11, 7), False), ((5, 9), False), ((11, 7), True)]:
         got = np.asarray(bilinear_resize(jnp.asarray(x), size, align_corners=align))
         want = from_torch(
             torch.nn.functional.interpolate(
