@@ -160,8 +160,12 @@ class SamplePipeline:
         mesh=None,
         dp_axis: str = "dp",
         decode_mode: str = "absorbing",
+        kv_cache: bool = True,
     ):
         self.cfgs = cfgs
+        # KV-cached incremental decode for the autoregressive sampler mode
+        # (models/ar_decode.py); ignored by the diffusion modes
+        self.kv_cache = kv_cache
         # 'absorbing' (reference random-order unmasking, the default) or
         # 'maskgit' (confidence-ordered multi-token unmasking — a documented
         # divergence that cuts trunk passes ~8x; diffusion/absorbing.py
@@ -305,9 +309,29 @@ class SamplePipeline:
             )
 
         if autoregressive:
-            local, _ = sample_autoregressive(
-                key, self.diffusion, denoise, texture_tokens
-            )
+            if self.kv_cache and self.mesh is None:
+                # incremental KV-cached decode (models/ar_decode.py): one
+                # single-token trunk pass per position instead of a full
+                # T-token causal forward — O(T) vs O(T^2) trunk token-work,
+                # teacher-forcing-exact vs the loop below
+                # (tests/test_ar_kv.py).  The dp/tp shard_map serving path
+                # keeps the whole-sequence loop (its batch sharding specs
+                # cover the trunk call, not the raw-param scan).
+                from text2human_tpu.models.ar_decode import ar_decode_kv
+
+                local, _, _ = ar_decode_kv(
+                    key,
+                    params["sampler"],
+                    self.cfgs.transformer,
+                    segm_tokens,
+                    texture_tokens,
+                    self.diffusion.n_embed_per_head,
+                    dtype=self.denoiser.dtype,
+                )
+            else:
+                local, _ = sample_autoregressive(
+                    key, self.diffusion, denoise, texture_tokens
+                )
         elif (decode_mode or self.decode_mode) == "maskgit":
             local, _ = sample_maskgit(
                 key, self.diffusion, denoise, texture_tokens, sample_steps
