@@ -20,6 +20,24 @@ import numpy as np
 
 
 def main():
+    # Dead-man guard: the tunneled device backend can wedge so hard that even
+    # jax.devices() blocks forever (observed r5).  Emit a diagnosable JSON
+    # line instead of hanging whatever drives the bench.  Re-armed before the
+    # measurement loop so a slow first compile (~10 min tunnel-remote) fits.
+    import os
+    import signal
+
+    def _dead(signum, frame):
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip", "value": 0.0,
+            "unit": "img/s", "vs_baseline": 0.0,
+            "error": "device unresponsive past watchdog",
+        }))
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _dead)
+    signal.alarm(1500)
+
     import jax
 
     # persistent compilation cache: the full pipeline compile is ~10 min over
@@ -96,6 +114,9 @@ def main():
         )
     jax.block_until_ready(params)
     init_time = time.time() - t0
+    # device + weights proven live: re-arm for the compile+measure phase
+    # (first remote compile of the full pipeline is ~10 min)
+    signal.alarm(2400)
 
     def measure(b):
         pose = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)).astype(np.float32))
@@ -204,6 +225,7 @@ def main():
             "weights": weights,
         },
     }
+    signal.alarm(0)
     print(json.dumps(result))
 
 
