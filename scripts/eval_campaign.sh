@@ -13,7 +13,9 @@ for s in parsing_token vqvae_top vqvae_bottom sampler index_pred parsing_gen; do
         echo "missing experiments/${s}_campaign/models/final"; exit 1; }
 done
 
-python -m text2human_tpu.cli.convert assemble-pipeline \
+# timeouts: the tunneled backend can wedge (docs/CAMPAIGN.md r5
+# incident); a bounded failure beats hanging the whole campaign
+timeout 1200 python -m text2human_tpu.cli.convert assemble-pipeline \
     --top experiments/vqvae_top_campaign/models/final \
     --bottom experiments/vqvae_bottom_campaign/models/final \
     --segm experiments/parsing_token_campaign/models/final \
@@ -24,7 +26,7 @@ python -m text2human_tpu.cli.convert assemble-pipeline \
 
 # quality-vs-steps on the TRAINED model (held-out fixture parsings start at
 # offset 2048, past the campaign's train split)
-python -m text2human_tpu.cli.evaluate sweep-steps \
+timeout 3600 python -m text2human_tpu.cli.evaluate sweep-steps \
     -opt configs/sample_from_parsing.yml \
     --ckpt checkpoints/campaign_pipeline \
     --decodes absorbing:256 maskgit:64 maskgit:32 maskgit:16 \
