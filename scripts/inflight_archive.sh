@@ -32,7 +32,7 @@ tmp=$(mktemp -d)
 idx="$REPO/.git/index.inflight.$stage"
 trap 'rm -rf "$tmp" "$idx"' EXIT
 # slim_ckpt fails loudly on a partially-written orbax dir: skip, retry later
-if ! JAX_PLATFORMS=cpu python scripts/slim_ckpt.py \
+if ! JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python scripts/slim_ckpt.py \
         "$models/$latest" "$tmp/ckpt" >/dev/null 2>&1; then
     echo "[inflight] $stage epoch $latest: checkpoint not readable yet, skip"
     exit 0

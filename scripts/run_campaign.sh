@@ -79,7 +79,7 @@ archive() { # archive <stage>: slim the final ckpt into campaign_ckpts/ and
     # any future machine that restores from the archive.
     local name=$1
     [ -d "campaign_ckpts/$name" ] && return 0
-    JAX_PLATFORMS=cpu python scripts/slim_ckpt.py \
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python scripts/slim_ckpt.py \
         "experiments/$name/models/final" "campaign_ckpts/$name" || return 1
     rm -rf "experiments/$name/models/final"
     cp -r "campaign_ckpts/$name" "experiments/$name/models/final"

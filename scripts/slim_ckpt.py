@@ -24,6 +24,14 @@ import sys
 
 sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), ".."))
 
+# Pin to the host CPU BEFORE any backend init: the axon bootstrap
+# (sitecustomize) force-sets jax_platforms="axon,cpu", overriding a
+# JAX_PLATFORMS=cpu env var — and a slim/archive helper must never block on
+# the device tunnel (a wedged tunnel hung this script mid-campaign, r5).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 from text2human_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
 

@@ -135,6 +135,10 @@ def test_aot_prebuilt_execution_matches_jit(tmp_path):
 
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        # the axon bootstrap would force jax_platforms back to "axon,cpu"
+        # at interpreter start (and block on a wedged tunnel); an empty
+        # POOL_IPS makes sitecustomize skip the plugin entirely
+        env["PALLAS_AXON_POOL_IPS"] = ""
         env["XLA_FLAGS"] = "--xla_cpu_use_thunk_runtime=false"
         env["PYTHONPATH"] = os.pathsep.join(
             [os.path.dirname(__file__),

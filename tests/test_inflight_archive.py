@@ -89,6 +89,9 @@ def test_inflight_archive_ref_roundtrip(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join([REPO, env.get("PYTHONPATH", "")])
     env["JAX_PLATFORMS"] = "cpu"
+    # skip the axon plugin bootstrap (it overrides JAX_PLATFORMS at
+    # interpreter start and blocks on a wedged tunnel)
+    env["PALLAS_AXON_POOL_IPS"] = ""
 
     def run_archive(stage="stage_a"):
         return subprocess.run(

@@ -48,6 +48,9 @@ def _child_env() -> dict:
     ``python -m pytest`` from any cwd must stay green."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # skip the axon plugin bootstrap entirely: it would override
+    # JAX_PLATFORMS at interpreter start and block on a wedged tunnel
+    env["PALLAS_AXON_POOL_IPS"] = ""
     env["PYTHONPATH"] = os.pathsep.join([REPO, env.get("PYTHONPATH", "")])
     return env
 
