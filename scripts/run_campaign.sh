@@ -89,34 +89,7 @@ archive() { # archive <stage>: slim the final ckpt into campaign_ckpts/ and
         "Campaign: archive $name final checkpoint (reset-proof)"
 }
 
-_run_with_watchdog() { # _run_with_watchdog <logfile> <cmd...>
-    # The tunneled device backend has wedged whole runs: a dispatched step's
-    # result simply never returns while the process sits at 0% CPU (observed
-    # twice on the parsing_gen stage, ~20+ min each).  Kill the trainer when
-    # its log stops advancing for STALL_S seconds; the caller retries and
-    # --resume picks up from the last periodic checkpoint.  The budget is
-    # generous: first-use remote compiles legitimately take minutes and log
-    # their phase lines (cli/train.py) which reset the timer.
-    local log=$1; shift
-    local STALL_S=${CAMPAIGN_STALL_S:-900}
-    "$@" >> "$log" 2>&1 &
-    local pid=$!
-    while kill -0 "$pid" 2>/dev/null; do
-        sleep 30
-        local age
-        age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
-        if [ "$age" -ge "$STALL_S" ]; then
-            echo "[campaign] WATCHDOG: no log progress for ${age}s, killing $pid"
-            # SIGUSR1 first: dump the wedged stacks into the log for the record
-            kill -USR1 "$pid" 2>/dev/null; sleep 5
-            kill "$pid" 2>/dev/null; sleep 10
-            kill -9 "$pid" 2>/dev/null
-            wait "$pid" 2>/dev/null
-            return 99
-        fi
-    done
-    wait "$pid"
-}
+. "$(dirname "$0")/watchdog.sh"
 
 stage() { # stage <name> <config> [extra args...]
     local name=$1 cfg=$2; shift 2
