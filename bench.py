@@ -21,22 +21,32 @@ import numpy as np
 
 def main():
     # Dead-man guard: the tunneled device backend can wedge so hard that even
-    # jax.devices() blocks forever (observed r5).  Emit a diagnosable JSON
-    # line instead of hanging whatever drives the bench.  Re-armed before the
-    # measurement loop so a slow first compile (~10 min tunnel-remote) fits.
+    # jax.devices() blocks forever (observed r5).  A watchdog THREAD (not
+    # SIGALRM — a Python signal handler cannot run while the main thread is
+    # stuck inside a native tunnel call) emits a diagnosable JSON line and
+    # hard-exits.  The deadline is pushed forward at each phase boundary so
+    # every individual compile gets its own budget (three full-pipeline
+    # compiles at ~10 min each on a cold cache are healthy, not wedged).
     import os
-    import signal
+    import threading
 
-    def _dead(signum, frame):
-        print(json.dumps({
-            "metric": "images_per_sec_per_chip", "value": 0.0,
-            "unit": "img/s", "vs_baseline": 0.0,
-            "error": "device unresponsive past watchdog",
-        }))
-        os._exit(2)
+    _deadline = [time.time() + 1500]
 
-    signal.signal(signal.SIGALRM, _dead)
-    signal.alarm(1500)
+    def _push_deadline(seconds):
+        _deadline[0] = time.time() + seconds
+
+    def _watchdog():
+        while True:
+            time.sleep(30)
+            if time.time() > _deadline[0]:
+                print(json.dumps({
+                    "metric": "images_per_sec_per_chip", "value": 0.0,
+                    "unit": "img/s", "vs_baseline": 0.0,
+                    "error": "device unresponsive past watchdog",
+                }), flush=True)
+                os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
 
@@ -114,9 +124,6 @@ def main():
         )
     jax.block_until_ready(params)
     init_time = time.time() - t0
-    # device + weights proven live: re-arm for the compile+measure phase
-    # (first remote compile of the full pipeline is ~10 min)
-    signal.alarm(2400)
 
     def measure(b):
         pose = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 1)).astype(np.float32))
@@ -142,6 +149,7 @@ def main():
         # warmup/compile.  NOTE: force a host transfer to materialize — on
         # the tunneled axon backend block_until_ready returns before
         # execution completes, which would make timings meaningless.
+        _push_deadline(2400)  # fresh budget per compile phase
         t0 = time.time()
         out = run(jax.random.key(0))
         np.asarray(out[:, :1, :1, :1])
@@ -196,6 +204,7 @@ def main():
         )
         return imgs
 
+    _push_deadline(2400)  # fresh budget for the bf16/maskgit compile
     out = run_fast(jax.random.key(0))
     np.asarray(out[:, :1, :1, :1])
     fast_times = []
@@ -225,7 +234,7 @@ def main():
             "weights": weights,
         },
     }
-    signal.alarm(0)
+    _push_deadline(10**9)  # disarm
     print(json.dumps(result))
 
 

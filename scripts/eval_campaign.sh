@@ -39,7 +39,8 @@ timeout 3600 python -m text2human_tpu.cli.evaluate sweep-steps \
 # Skip the recommit when the assembled weights are byte-identical to the
 # existing archive (ADVICE r4: every eval rerun was adding the full blob
 # size to git history).
-if [ -d campaign_ckpts/pipeline ] && python - <<'EOF'
+if [ -d campaign_ckpts/pipeline ] && JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+    python - <<'EOF'
 import sys
 sys.path.insert(0, ".")
 from text2human_tpu.data.token_cache import checkpoint_fingerprint
@@ -54,13 +55,25 @@ else
     mkdir -p campaign_ckpts
     cp -r checkpoints/campaign_pipeline campaign_ckpts/pipeline
     for i in 1 2 3 4 5; do
-        git add campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
-            campaign_logs/sweep_grid.png \
-        && git commit -m "Campaign: assembled pipeline + quality-vs-steps sweep" \
-            -- campaign_ckpts/pipeline campaign_logs/sweep_steps.json \
-               campaign_logs/sweep_grid.png >/dev/null && break
+        git add campaign_ckpts/pipeline \
+        && git commit -m "Campaign: archive assembled pipeline" \
+            -- campaign_ckpts/pipeline >/dev/null && break
         sleep 5
     done
 fi
+
+# The sweep evidence is committed UNCONDITIONALLY: a rerun can produce new
+# sweep results on unchanged weights (different --decodes, a first success
+# after a failed attempt), and a machine reset must not wipe the only copy.
+for i in 1 2 3 4 5; do
+    git add campaign_logs/sweep_steps.json campaign_logs/sweep_grid.png \
+    && git commit -m "Campaign: quality-vs-steps sweep results" \
+        -- campaign_logs/sweep_steps.json campaign_logs/sweep_grid.png \
+        >/dev/null && break
+    # "nothing to commit" (unchanged sweep) is fine — stop retrying
+    git diff --cached --quiet -- campaign_logs/sweep_steps.json \
+        campaign_logs/sweep_grid.png && break
+    sleep 5
+done
 
 echo "[eval] done: checkpoints/campaign_pipeline + campaign_logs/sweep_steps.json"

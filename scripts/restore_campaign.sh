@@ -38,9 +38,14 @@ for s in $STAGES; do
         && ! ls "experiments/$s/models"/* >/dev/null 2>&1 \
         && git rev-parse -q --verify "refs/campaign/inflight-$s" >/dev/null; then
         ep=$(git cat-file -p "refs/campaign/inflight-$s:EPOCH")
-        mkdir -p "experiments/$s/models/$ep"
+        # atomic like atomic_restore: an interrupted extract must not leave
+        # a partial models/<ep> that poisons the --resume path
+        mkdir -p "experiments/$s/models"
+        rm -rf "experiments/$s/models"/.restore.* 2>/dev/null
+        tmp=$(mktemp -d -p "experiments/$s/models" .restore.XXXXXX)
         git archive "refs/campaign/inflight-$s" ckpt \
-            | tar -x --strip-components=1 -C "experiments/$s/models/$ep"
+            | tar -x --strip-components=1 -C "$tmp"
+        mv -T "$tmp" "experiments/$s/models/$ep"
         echo "[restore] $s: in-flight epoch $ep restored from refs/campaign/inflight-$s"
     fi
 done

@@ -118,20 +118,24 @@ stage() { # stage <name> <config> [extra args...]
     return 99
 }
 
-# cache_fresh <cache_dir> <key:path> [...]: exit 0 iff the cache exists and
-# every recorded checkpoint fingerprint matches the current on-disk one.
+# cache_fresh <cache_dir> <key:path> [...]: exit 0 iff the cache exists,
+# BOTH splits are complete (a build killed between the train and val writes
+# must not pass), and every recorded checkpoint fingerprint matches the
+# current on-disk one.  CPU-pinned + plugin-skipped: this must never block
+# on the device tunnel.
 cache_fresh() {
-    python - "$@" <<'EOF'
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python - "$@" <<'EOF'
 import json, sys
 sys.path.insert(0, ".")
 from text2human_tpu.data.token_cache import checkpoint_fingerprint
 cache = sys.argv[1]
 try:
-    meta = json.load(open(f"{cache}/train/meta.json"))
     paths = dict(a.split(":", 1) for a in sys.argv[2:])
-    for key, rec in meta["checkpoints"].items():
-        if checkpoint_fingerprint(paths[key])["sha256"] != rec["sha256"]:
-            sys.exit(1)
+    for split in ("train", "val"):
+        meta = json.load(open(f"{cache}/{split}/meta.json"))
+        for key, rec in meta["checkpoints"].items():
+            if checkpoint_fingerprint(paths[key])["sha256"] != rec["sha256"]:
+                sys.exit(1)
 except Exception:
     sys.exit(1)
 EOF
@@ -164,9 +168,10 @@ if ! cache_fresh token_cache_campaign \
         segm_ae_path:experiments/parsing_token_campaign/models/final; then
     echo "[campaign] sampler token cache stale/missing: rebuilding $(date -u +%H:%M:%S)"
     rm -rf token_cache_campaign
-    nice -n 5 python -m text2human_tpu.cli.tokenize \
+    _run_with_watchdog campaign_logs/tokenize.log \
+        nice -n 5 python -m text2human_tpu.cli.tokenize \
         -opt configs/campaign/sampler_campaign.yml --fixture \
-        --out token_cache_campaign >> campaign_logs/tokenize.log 2>&1 || exit 1
+        --out token_cache_campaign || exit 1
     archive_cache token_cache_campaign token_cache
 else
     echo "[campaign] sampler token cache fingerprints match, reuse"
@@ -181,9 +186,10 @@ if ! cache_fresh token_cache_ip_campaign \
         bot_vae_path:experiments/vqvae_bottom_campaign/models/final; then
     echo "[campaign] index-pred token cache stale/missing: rebuilding $(date -u +%H:%M:%S)"
     rm -rf token_cache_ip_campaign
-    nice -n 5 python -m text2human_tpu.cli.tokenize \
+    _run_with_watchdog campaign_logs/tokenize_ip.log \
+        nice -n 5 python -m text2human_tpu.cli.tokenize \
         -opt configs/campaign/index_pred_campaign.yml --fixture \
-        --out token_cache_ip_campaign >> campaign_logs/tokenize_ip.log 2>&1 || exit 1
+        --out token_cache_ip_campaign || exit 1
     archive_cache token_cache_ip_campaign token_cache_ip
 else
     echo "[campaign] index-pred token cache fingerprints match, reuse"
@@ -202,11 +208,19 @@ if ! final sampler_campaign; then
         echo "[campaign] sampler: SIGTERM preemption at $(date -u +%H:%M:%S)"
         kill -TERM "$SPID"
     fi
+    # bounded wait: a wedged backend never runs the SIGTERM checkpoint
+    # handler (the process is stuck in a native call) — don't hang forever
+    for _ in $(seq 1 60); do
+        kill -0 "$SPID" 2>/dev/null || break
+        sleep 10
+    done
+    kill -9 "$SPID" 2>/dev/null
     wait "$SPID"
     if ! final sampler_campaign; then
         echo "[campaign] sampler: --resume at $(date -u +%H:%M:%S)"
-        $TRAIN -opt configs/campaign/sampler_campaign.yml --fixture --resume \
-            >> campaign_logs/sampler.log 2>&1 || exit 1
+        _run_with_watchdog campaign_logs/sampler.log \
+            $TRAIN -opt configs/campaign/sampler_campaign.yml --fixture \
+            --resume || exit 1
     fi
     echo "[campaign] sampler_campaign: done $(date -u +%H:%M:%S)"
 fi

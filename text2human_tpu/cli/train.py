@@ -901,6 +901,7 @@ def main(argv=None):
         resume_path = latest_checkpoint(opt["path"]["models"])
         if resume_path:
             restored = None
+            restore_errs = []
             for target in (
                 {"state": loop.state, "epoch": 0, "best": 0.0},
                 # checkpoints from before the 'best' field
@@ -909,8 +910,8 @@ def main(argv=None):
                 try:
                     restored = load_checkpoint(resume_path, target=target)
                     break
-                except Exception:
-                    continue
+                except Exception as e:
+                    restore_errs.append(e)
             if restored is None:
                 # slim archive (params [+ batch_stats, step] only — e.g. a
                 # reset-proof in-flight archive restored from git,
@@ -923,6 +924,16 @@ def main(argv=None):
                         f"cannot resume from {resume_path}: neither a full "
                         "TrainState nor a slim params checkpoint"
                     )
+                if "opt_state" in sd:
+                    # A FULL checkpoint whose structured restore failed is a
+                    # real error (config/shape drift, orbax fault) — silently
+                    # "slim-resuming" it would discard the optimizer state
+                    # and accept possibly mismatched params.  Only genuinely
+                    # slim archives (no opt_state on disk) take this path.
+                    raise RuntimeError(
+                        f"full checkpoint at {resume_path} failed structured "
+                        f"restore: {restore_errs[-1]!r}"
+                    ) from restore_errs[-1]
                 loop.state = loop.state.replace(
                     params=sd["params"],
                     batch_stats=sd.get("batch_stats") or loop.state.batch_stats,
@@ -990,6 +1001,25 @@ def main(argv=None):
                     "first train step dispatched; waiting on the device for "
                     "the iter-1 log sync (first-use compile happens here)"
                 )
+                # BOUNDED heartbeat over the log-silent first-compile window
+                # (remote compiles can take ~10 min): two beats keep the
+                # campaign stall watchdog from killing a healthy compile,
+                # and because they stop, a genuinely wedged run still goes
+                # silent and gets killed (docs/CAMPAIGN.md r5 incident).
+                import threading as _threading
+
+                _hb_done = _threading.Event()
+
+                def _heartbeat():
+                    for wait_s in (300, 300):
+                        if _hb_done.wait(wait_s):
+                            return
+                        logger.info(
+                            "still waiting on the first step result "
+                            "(compile in progress on the device backend)"
+                        )
+
+                _threading.Thread(target=_heartbeat, daemon=True).start()
             inflight.append(logs)
             if len(inflight) > run_ahead:
                 drain_one()
@@ -1001,6 +1031,8 @@ def main(argv=None):
                 # to the window being reported (otherwise 'time' would be
                 # optimistic by up to run_ahead/print_freq)
                 synced = {k: float(v) for k, v in logs.items()}
+                if current_iter == 1:
+                    _hb_done.set()  # first result arrived: stop the heartbeat
                 now = time.time()
                 msg_logger(
                     {

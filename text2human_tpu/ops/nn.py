@@ -51,7 +51,10 @@ def nearest_downsample_mask(mask: jax.Array, size: tuple[int, int]) -> jax.Array
 
 def _interp_matrix(out_size: int, in_size: int, align_corners: bool) -> jax.Array:
     """[out, in] row-stochastic bilinear interpolation matrix (two taps/row)."""
-    if align_corners and out_size > 1:
+    if align_corners:
+        # out_size == 1: torch's align_corners scale is 0 -> samples index 0
+        # (same as jnp.linspace(0, in-1, 1)); the half-pixel branch would
+        # sample the center instead
         pos = jnp.linspace(0.0, in_size - 1.0, out_size)
     else:
         pos = (jnp.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
