@@ -109,8 +109,11 @@ def test_bilinear_resize_matches_torch(rng):
     x = rng.standard_normal((1, 8, 6, 3)).astype(np.float32)
     # odd, non-integer ratios exercise the two-tap interpolation matrices
     # away from the exact-2x fast paths
+    # odd ratios exercise the two-tap matrices away from exact-2x paths;
+    # (1, 12) hits the out_size==1 align_corners scale-0 convention
     for size, align in [((16, 12), False), ((4, 3), False), ((16, 12), True),
-                        ((11, 7), False), ((5, 9), False), ((11, 7), True)]:
+                        ((11, 7), False), ((5, 9), False), ((11, 7), True),
+                        ((1, 12), True), ((1, 3), False)]:
         got = np.asarray(bilinear_resize(jnp.asarray(x), size, align_corners=align))
         want = from_torch(
             torch.nn.functional.interpolate(
