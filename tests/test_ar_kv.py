@@ -147,3 +147,38 @@ def test_pipeline_ar_mode_uses_kv_cache_and_matches_loop(rng):
     out_kv = pipe_kv.sample_indices(params, key, segm, tex)
     out_loop = pipe_loop.sample_indices(params, key, segm, tex)
     np.testing.assert_array_equal(np.asarray(out_kv), np.asarray(out_loop))
+
+
+def test_kv_decode_bf16_tracks_full_forward(rng):
+    """Serving dtype (bfloat16) at a larger config: the cached decode's
+    teacher-forced logits stay within bf16 noise of the full causal forward
+    run in bf16."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = TransformerConfig(**AR_CFG_KW)
+    cfg = dataclasses.replace(
+        cfg, n_layers=4, n_emb=32, n_head=4, block_size=32, latent_shape=(8, 4),
+        num_output_heads=3, texture_codebook_size=3,
+    )
+    b, t_len = 2, cfg.block_size
+    c = cfg.head_class_num
+    model = TransformerMultiHead(cfg, dtype=jnp.bfloat16)
+    dummy = jnp.zeros((1, t_len), jnp.int32)
+    params = model.init(jax.random.key(0), dummy, dummy, dummy)["params"]
+    segm = jnp.asarray(rng.integers(0, 8, (b, t_len)), jnp.int32)
+    tex = jnp.asarray(rng.integers(0, 3, (b, t_len)), jnp.int32)
+    local = rng.integers(0, c, (b, t_len))
+    cont = jnp.asarray(local + c * np.asarray(tex), jnp.int32)
+
+    full = model.apply(
+        {"params": params}, _shift_right(cont), segm, tex, select_heads=True
+    )
+    _, _, kv_logits = ar_decode_kv(
+        jax.random.key(1), params, cfg, segm, tex,
+        n_embed_per_head=c, forced_cont=cont, dtype=jnp.bfloat16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(kv_logits), np.asarray(full), atol=0.15, rtol=0.1
+    )
